@@ -1,0 +1,191 @@
+"""SpatialOutputAdapter: MultiMAE-style cross-attention reconstruction decoder.
+
+Parity: mirage/output_adapters.py:22-296. Pipeline:
+  project encoder tokens to decoder dim -> re-insert mask tokens via
+  ids_restore unshuffle -> add per-task learned embeddings + sin-cos posemb ->
+  task-sliced queries -> cross-attention + MLP -> optional self-attn
+  transformer -> linear to C*P*P -> unpatchify to image.
+
+All gathers are fixed-shape (jnp.take_along_axis) so the decoder stays fully
+jit-compatible; the number of visible tokens is static (config-driven).
+"""
+
+import dataclasses
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from mirage_tpu.nn import init as vinit
+from mirage_tpu.nn.attention import cross_attention_apply, cross_attention_init
+from mirage_tpu.nn.block import block_apply, block_init
+from mirage_tpu.nn.layers import layer_norm, layer_norm_init, linear, mlp_apply, mlp_init
+from mirage_tpu.nn.posemb import build_2d_sincos_posemb
+from mirage_tpu.nn.resize import resize2d
+from mirage_tpu.ops.patch_embed import unpatchify
+from mirage_tpu.adapters.input_adapters import pair
+
+
+@dataclasses.dataclass(frozen=True)
+class SpatialOutputAdapter:
+    num_channels: int
+    stride_level: int = 1
+    patch_size_full: Union[int, Tuple[int, int]] = 16
+    dim_tokens: int = 256
+    depth: int = 0
+    learnable_pos_emb: bool = False
+    image_size: Union[int, Tuple[int, int]] = 224
+    mlp_ratio: int = 4
+    num_heads: int = 8
+    qkv_bias: bool = True
+    use_task_queries: bool = True
+    task: Optional[str] = None
+    context_tasks: Optional[tuple] = None
+    use_xattn: bool = True
+
+    @property
+    def patch_hw(self):
+        ph, pw = pair(self.patch_size_full)
+        return max(1, ph // self.stride_level), max(1, pw // self.stride_level)
+
+    @property
+    def posemb_grid(self):
+        h, w = pair(self.image_size)
+        ph, pw = self.patch_hw
+        return h // (self.stride_level * ph), w // (self.stride_level * pw)
+
+    def init_params(self, key, dim_tokens_enc: int, dtype=jnp.float32):
+        ph, pw = self.patch_hw
+        hp, wp = self.posemb_grid
+        keys = jax.random.split(key, 8 + self.depth)
+        p = {}
+        if self.context_tasks is not None:
+            p["task_embeddings"] = {
+                t: vinit.trunc_normal(jax.random.fold_in(keys[0], i), (1, 1, self.dim_tokens),
+                                      std=0.02, dtype=dtype)
+                for i, t in enumerate(self.context_tasks)
+            }
+        p["mask_token"] = jnp.zeros((1, 1, self.dim_tokens), dtype)
+        if self.learnable_pos_emb:
+            p["pos_emb"] = vinit.trunc_normal(keys[1], (1, self.dim_tokens, hp, wp),
+                                              std=0.02, dtype=dtype)
+        else:
+            p["pos_emb"] = build_2d_sincos_posemb(hp, wp, self.dim_tokens).astype(dtype)
+        if self.use_xattn:
+            p["decoder"] = cross_attention_init(keys[2], self.dim_tokens,
+                                                qkv_bias=self.qkv_bias, dtype=dtype)
+            p["context_norm"] = layer_norm_init(self.dim_tokens, dtype)
+            p["query_norm"] = layer_norm_init(self.dim_tokens, dtype)
+            p["out_norm"] = layer_norm_init(self.dim_tokens, dtype)
+            p["mlp"] = mlp_init(keys[3], self.dim_tokens, self.dim_tokens * self.mlp_ratio,
+                                dtype=dtype)
+        if self.depth > 0:
+            p["decoder_transformer"] = [
+                block_init(keys[4 + i], self.dim_tokens, mlp_ratio=self.mlp_ratio,
+                           qkv_bias=self.qkv_bias, dtype=dtype)
+                for i in range(self.depth)
+            ]
+        dim_patch = self.num_channels * ph * pw
+        kp = keys[4 + self.depth]
+        p["out_proj"] = {
+            "w": vinit.xavier_uniform(kp, (self.dim_tokens, dim_patch), dtype=dtype),
+            "b": jnp.zeros((dim_patch,), dtype),
+        }
+        p["proj_context"] = {
+            "w": vinit.xavier_uniform(keys[5 + self.depth], (dim_tokens_enc, self.dim_tokens),
+                                      dtype=dtype),
+            "b": jnp.zeros((self.dim_tokens,), dtype),
+        }
+        return p
+
+    # -- forward helpers ----------------------------------------------------
+
+    def _posemb_tokens(self, pos_emb, size):
+        pos = resize2d(pos_emb, size, mode="bilinear", align_corners=False)
+        d = pos.shape[1]
+        return pos.reshape(1, d, size[0] * size[1]).transpose(0, 2, 1)
+
+    def _context_embeddings(self, params, input_info, bs, size, dtype):
+        """Per-task embeddings + posemb over the FULL token sequence
+        (output_adapters.py:164-186)."""
+        chunks = []
+        task_embs = params.get("task_embeddings", {})
+        pos = self._posemb_tokens(params["pos_emb"], size).astype(dtype)
+        for task, info in input_info["tasks"].items():
+            n = info["num_tokens"]
+            if task in task_embs:
+                emb = jnp.broadcast_to(task_embs[task].astype(dtype), (bs, n, self.dim_tokens))
+            else:
+                emb = jnp.zeros((bs, n, self.dim_tokens), dtype)
+            if info["has_posemb"]:
+                assert n == pos.shape[1], (
+                    f"# tokens ({n}) != # pos embeddings ({pos.shape[1]})")
+                emb = emb + pos
+            chunks.append(emb)
+        return jnp.concatenate(chunks, axis=1)
+
+    def __call__(self, params, encoder_tokens, input_info, ids_keep, ids_restore,
+                 *, deterministic=True, rng=None, impl="auto"):
+        """encoder_tokens: (B, E+G, D_enc); returns (B, C, H, W)."""
+        b = encoder_tokens.shape[0]
+        h, w = input_info["tasks"][self.task]["image_size"]
+        ph, pw = self.patch_hw
+        nh = h // (self.stride_level * ph)
+        nw = w // (self.stride_level * pw)
+
+        context = linear(params["proj_context"], encoder_tokens)
+        dtype = context.dtype
+        num_global = input_info.get("num_global_tokens", 0)
+        if num_global:
+            context_no_global = context[:, :-num_global]
+        else:
+            context_no_global = context
+
+        # Re-insert mask tokens and unshuffle to original order
+        n_total = input_info["num_task_tokens"]
+        n_masked = n_total - context_no_global.shape[1]
+        mask_tokens = jnp.broadcast_to(params["mask_token"].astype(dtype),
+                                       (b, n_masked, self.dim_tokens))
+        context_with_mask = jnp.concatenate([context_no_global, mask_tokens], axis=1)
+        context_with_mask = jnp.take_along_axis(
+            context_with_mask, ids_restore[..., None], axis=1)
+
+        context_with_mask = context_with_mask + self._context_embeddings(
+            params, input_info, b, (nh, nw), dtype)
+
+        # Queries: task slice of the full sequence, or mask+posemb queries
+        if self.use_task_queries and self.task in input_info["tasks"]:
+            s = input_info["tasks"][self.task]["start_idx"]
+            e = input_info["tasks"][self.task]["end_idx"]
+            queries = context_with_mask[:, s:e]
+        else:
+            queries = jnp.broadcast_to(params["mask_token"].astype(dtype),
+                                       (b, nh * nw, self.dim_tokens))
+            queries = queries + self._posemb_tokens(params["pos_emb"], (nh, nw)).astype(dtype)
+            task_embs = params.get("task_embeddings", {})
+            if self.task is not None and self.task in task_embs:
+                queries = queries + task_embs[self.task].astype(dtype)
+
+        # Keep only the visible context tokens (+ global) for cross-attention
+        context_vis = jnp.take_along_axis(context_with_mask, ids_keep[..., None], axis=1)
+        if num_global:
+            context_vis = jnp.concatenate([context_vis, context[:, -num_global:]], axis=1)
+
+        if self.use_xattn:
+            x = cross_attention_apply(
+                params["decoder"], layer_norm(params["query_norm"], queries),
+                layer_norm(params["context_norm"], context_vis), self.num_heads,
+                impl=impl, deterministic=deterministic, rng=rng)
+            x = x + mlp_apply(params["mlp"], layer_norm(params["out_norm"], x),
+                              deterministic=deterministic)
+        else:
+            x = queries
+
+        if self.depth > 0:
+            for i, bp in enumerate(params["decoder_transformer"]):
+                r = jax.random.fold_in(rng, i) if rng is not None else None
+                x = block_apply(bp, x, self.num_heads, impl=impl,
+                                deterministic=deterministic, rng=r)
+
+        x = linear(params["out_proj"], x)
+        return unpatchify(x, nh, nw, ph, pw, self.num_channels)

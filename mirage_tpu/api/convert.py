@@ -1,0 +1,261 @@
+"""PyTorch MIRAGE checkpoint <-> JAX param-pytree conversion.
+
+Key namespace of the reference checkpoints (SURVEY.md §2.2):
+  input_adapters.{task}.{pos_emb,proj.weight,proj.bias,class_emb.weight}
+  encoder.{i}.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2}.{weight,bias}
+  output_adapters.{task}.{mask_token,task_embeddings.{t},pos_emb,
+      proj_context,decoder.{q,kv,proj},context_norm,query_norm,out_norm,
+      mlp.{fc1,fc2},decoder_transformer.{i}.*,out_proj}
+  global_tokens
+
+Layout transforms:
+  - torch Linear (out, in) -> ours (in, out): transpose
+  - torch Conv2d patch proj (D, C, ph, pw) -> ours (C*ph*pw, D):
+    reshape(D, -1).T  (row order (c, ph, pw) matches ops.patch_embed.patchify)
+  - torch LayerNorm weight/bias -> scale/bias
+  - encoder layers i=0..L-1 -> stacked leaves with leading layer axis
+"""
+
+import re
+from typing import Any, Dict, Mapping
+
+import numpy as np
+import jax.numpy as jnp
+
+from mirage_tpu.adapters.input_adapters import PatchedInputAdapter, SemSegInputAdapter
+from mirage_tpu.adapters.spatial_output import SpatialOutputAdapter
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a reference `.pth` checkpoint -> {'model': {key: np.ndarray},
+    'args': dict, ...}. Requires torch (CPU) at import time only here."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    out: Dict[str, Any] = {}
+    state = ckpt.get("model", ckpt)
+    out["model"] = {k: v.detach().cpu().numpy() for k, v in state.items()}
+    if "args" in ckpt:
+        args = ckpt["args"]
+        out["args"] = vars(args) if not isinstance(args, dict) else args
+    for k in ("epoch", "scaler"):
+        if k in ckpt:
+            out[k] = ckpt[k]
+    return out
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors.numpy import load_file
+
+    return load_file(path)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _t(x):
+    return jnp.asarray(np.ascontiguousarray(x.T))
+
+
+def _a(x):
+    return jnp.asarray(x)
+
+
+def _linear(sd, prefix):
+    p = {"w": _t(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        p["b"] = _a(sd[f"{prefix}.bias"])
+    return p
+
+
+def _conv_as_linear(sd, prefix):
+    w = sd[f"{prefix}.weight"]  # (D, C, ph, pw)
+    p = {"w": _t(w.reshape(w.shape[0], -1))}
+    if f"{prefix}.bias" in sd:
+        p["b"] = _a(sd[f"{prefix}.bias"])
+    return p
+
+
+def _ln(sd, prefix):
+    return {"scale": _a(sd[f"{prefix}.weight"]), "bias": _a(sd[f"{prefix}.bias"])}
+
+
+def _attn(sd, prefix):
+    return {"qkv": _linear(sd, f"{prefix}.qkv"), "proj": _linear(sd, f"{prefix}.proj")}
+
+
+def _xattn(sd, prefix):
+    return {
+        "q": _linear(sd, f"{prefix}.q"),
+        "kv": _linear(sd, f"{prefix}.kv"),
+        "proj": _linear(sd, f"{prefix}.proj"),
+    }
+
+
+def _mlp(sd, prefix):
+    return {"fc1": _linear(sd, f"{prefix}.fc1"), "fc2": _linear(sd, f"{prefix}.fc2")}
+
+
+def _encoder_block(sd, prefix):
+    return {
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "attn": _attn(sd, f"{prefix}.attn"),
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "mlp": _mlp(sd, f"{prefix}.mlp"),
+    }
+
+
+def _stack(blocks):
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def torch_to_params(sd: Mapping[str, np.ndarray], model) -> Dict[str, Any]:
+    """Convert a torch state_dict (numpy values) into the param pytree of
+    `model` (a mirage_tpu MIRAGEModel)."""
+    params: Dict[str, Any] = {}
+
+    # Input adapters
+    params["input_adapters"] = {}
+    for task, adapter in model.input_adapters.items():
+        pre = f"input_adapters.{task}"
+        p: Dict[str, Any] = {"pos_emb": _a(sd[f"{pre}.pos_emb"])}
+        if isinstance(adapter, SemSegInputAdapter):
+            p["class_emb"] = _a(sd[f"{pre}.class_emb.weight"])
+            if adapter.interpolate_class_emb:
+                p["proj"] = _conv_as_linear(sd, f"{pre}.proj.1")
+            else:
+                p["proj"] = _conv_as_linear(sd, f"{pre}.proj")
+        else:
+            p["proj"] = _conv_as_linear(sd, f"{pre}.proj")
+        params["input_adapters"][task] = p
+
+    # Encoder
+    depth = model.depth
+    params["encoder"] = _stack(
+        [_encoder_block(sd, f"encoder.{i}") for i in range(depth)])
+
+    params["global_tokens"] = _a(sd["global_tokens"])
+
+    # Output adapters
+    if model.output_adapters is not None:
+        params["output_adapters"] = {}
+        for task, adapter in model.output_adapters.items():
+            pre = f"output_adapters.{task}"
+            if isinstance(adapter, SpatialOutputAdapter):
+                p = {
+                    "mask_token": _a(sd[f"{pre}.mask_token"]),
+                    "pos_emb": _a(sd[f"{pre}.pos_emb"]),
+                    "proj_context": _linear(sd, f"{pre}.proj_context"),
+                    "out_proj": _linear(sd, f"{pre}.out_proj"),
+                }
+                te_keys = [k for k in sd if k.startswith(f"{pre}.task_embeddings.")]
+                if te_keys:
+                    p["task_embeddings"] = {
+                        k.rsplit(".", 1)[-1]: _a(sd[k]) for k in te_keys
+                    }
+                if adapter.use_xattn:
+                    p["decoder"] = _xattn(sd, f"{pre}.decoder")
+                    p["context_norm"] = _ln(sd, f"{pre}.context_norm")
+                    p["query_norm"] = _ln(sd, f"{pre}.query_norm")
+                    p["out_norm"] = _ln(sd, f"{pre}.out_norm")
+                    p["mlp"] = _mlp(sd, f"{pre}.mlp")
+                if adapter.depth > 0:
+                    p["decoder_transformer"] = [
+                        _encoder_block(sd, f"{pre}.decoder_transformer.{i}")
+                        for i in range(adapter.depth)
+                    ]
+                params["output_adapters"][task] = p
+            else:
+                # Downstream seg heads implement their own from_torch
+                params["output_adapters"][task] = adapter.params_from_torch(sd, pre)
+
+    return params
+
+
+def params_to_torch(params: Mapping[str, Any], model) -> Dict[str, np.ndarray]:
+    """Inverse mapping, for exporting checkpoints loadable by the reference."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_linear(prefix, p):
+        sd[f"{prefix}.weight"] = np.asarray(p["w"]).T
+        if "b" in p:
+            sd[f"{prefix}.bias"] = np.asarray(p["b"])
+
+    def put_conv(prefix, p, shape_chw):
+        w = np.asarray(p["w"]).T  # (D, C*ph*pw)
+        sd[f"{prefix}.weight"] = w.reshape(w.shape[0], *shape_chw)
+        if "b" in p:
+            sd[f"{prefix}.bias"] = np.asarray(p["b"])
+
+    def put_ln(prefix, p):
+        sd[f"{prefix}.weight"] = np.asarray(p["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    def put_block(prefix, p):
+        put_ln(f"{prefix}.norm1", p["norm1"])
+        put_linear(f"{prefix}.attn.qkv", p["attn"]["qkv"])
+        put_linear(f"{prefix}.attn.proj", p["attn"]["proj"])
+        put_ln(f"{prefix}.norm2", p["norm2"])
+        put_linear(f"{prefix}.mlp.fc1", p["mlp"]["fc1"])
+        put_linear(f"{prefix}.mlp.fc2", p["mlp"]["fc2"])
+
+    for task, adapter in model.input_adapters.items():
+        pre = f"input_adapters.{task}"
+        p = params["input_adapters"][task]
+        sd[f"{pre}.pos_emb"] = np.asarray(p["pos_emb"])
+        ph, pw = adapter.patch_hw
+        if isinstance(adapter, SemSegInputAdapter):
+            sd[f"{pre}.class_emb.weight"] = np.asarray(p["class_emb"])
+            c = adapter.dim_class_emb
+            if adapter.interpolate_class_emb:
+                put_conv(f"{pre}.proj.1", p["proj"], (c, 1, 1))
+            else:
+                put_conv(f"{pre}.proj", p["proj"], (c, ph, pw))
+        else:
+            put_conv(f"{pre}.proj", p["proj"], (adapter.num_channels, ph, pw))
+
+    import jax
+
+    for i in range(model.depth):
+        put_block(f"encoder.{i}", jax.tree_util.tree_map(lambda x: x[i], params["encoder"]))
+
+    sd["global_tokens"] = np.asarray(params["global_tokens"])
+
+    if model.output_adapters is not None:
+        for task, adapter in model.output_adapters.items():
+            pre = f"output_adapters.{task}"
+            p = params["output_adapters"][task]
+            if not isinstance(adapter, SpatialOutputAdapter):
+                continue
+            sd[f"{pre}.mask_token"] = np.asarray(p["mask_token"])
+            sd[f"{pre}.pos_emb"] = np.asarray(p["pos_emb"])
+            put_linear(f"{pre}.proj_context", p["proj_context"])
+            put_linear(f"{pre}.out_proj", p["out_proj"])
+            for t, v in p.get("task_embeddings", {}).items():
+                sd[f"{pre}.task_embeddings.{t}"] = np.asarray(v)
+            if adapter.use_xattn:
+                put_linear(f"{pre}.decoder.q", p["decoder"]["q"])
+                put_linear(f"{pre}.decoder.kv", p["decoder"]["kv"])
+                put_linear(f"{pre}.decoder.proj", p["decoder"]["proj"])
+                put_ln(f"{pre}.context_norm", p["context_norm"])
+                put_ln(f"{pre}.query_norm", p["query_norm"])
+                put_ln(f"{pre}.out_norm", p["out_norm"])
+                put_linear(f"{pre}.mlp.fc1", p["mlp"]["fc1"])
+                put_linear(f"{pre}.mlp.fc2", p["mlp"]["fc2"])
+            for i in range(adapter.depth):
+                put_block(f"{pre}.decoder_transformer.{i}", p["decoder_transformer"][i])
+    return sd
+
+
+def rename_keys(sd: Mapping[str, np.ndarray], mapping: Mapping[str, str]):
+    """Bulk key rename (e.g. 'bscanlayermap' -> 'semseg', fm_seg_config.py:90-94,
+    or MAE 'blocks.' -> 'encoder.', run_pretraining.py:432-436)."""
+    out = {}
+    for k, v in sd.items():
+        nk = k
+        for old, new in mapping.items():
+            nk = re.sub(old, new, nk)
+        out[nk] = v
+    return out

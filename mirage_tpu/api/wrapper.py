@@ -1,0 +1,187 @@
+"""Public inference API: MIRAGEWrapper.
+
+Parity: mirage_wrapper.py:22-183 — loads a reference `.pth` checkpoint (or a
+converted `.npz` / safetensors), rebuilds the model for the requested
+modalities ('bscan-slo-bscanlayermap'), and runs the explicit-mask forward:
+missing modalities are zero-filled with fully-masked task masks, present ones
+get fully-visible masks.
+
+Differences by design (TPU-native):
+  - forward is a jitted pure function; the wrapper caches one compiled
+    executable per modality-presence pattern (a static property).
+  - device placement is implicit (default JAX device = the TPU chip).
+"""
+
+import functools
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mirage_tpu.adapters.input_adapters import PatchedInputAdapter, SemSegInputAdapter, pair
+from mirage_tpu.adapters.spatial_output import SpatialOutputAdapter
+from mirage_tpu.api import convert
+from mirage_tpu.models.mirage import MIRAGEModel
+
+
+def default_domain_conf(task: str) -> Dict:
+    """DOMAIN_CONF parity (mirage_wrapper.py:22-44)."""
+    if task == "bscanlayermap":
+        return {"num_classes": 13, "stride_level": 1, "channels": 13,
+                "semseg": True, "dim_class_emb": 64}
+    return {"channels": 1, "stride_level": 1, "semseg": False}
+
+
+class MIRAGEWrapper:
+    def __init__(
+        self,
+        input_size=512,
+        patch_size=32,
+        modalities: str = "bscan-slo-bscanlayermap",
+        weights: Optional[str] = None,
+        compute_dtype=jnp.float32,
+        attn_impl: str = "auto",
+        output_adapters: bool = True,
+    ):
+        assert weights is not None
+        ckpt = convert.load_torch_checkpoint(weights) if str(weights).endswith(".pth") \
+            else {"model": convert.load_safetensors(str(weights)), "args": {}}
+        sd = ckpt["model"]
+        args = dict(ckpt.get("args", {}))
+
+        self.in_domains = modalities.split("-")
+        input_size = pair(input_size)
+        patch_size = pair(patch_size)
+        self.input_size = {}
+        self.patch_size = {}
+        self.grid_size = {}
+        for domain in self.in_domains:
+            if domain != "bscanlayermap":
+                self.patch_size[domain] = patch_size
+                self.input_size[domain] = input_size
+            else:
+                # mirage_wrapper.py:77-78: fixed 128² / patch 8 for layermaps
+                self.patch_size[domain] = (8, 8)
+                self.input_size[domain] = (128, 128)
+            self.grid_size[domain] = tuple(
+                input_size[i] // patch_size[i] for i in range(2))
+
+        self.args = args
+        self.out_domains = list(args.get("out_domains", self.in_domains)) if output_adapters else []
+        model_name = args.get("model", "miragepre_base")
+        self.model = self._build_model(model_name, args, compute_dtype, attn_impl,
+                                       with_outputs=output_adapters)
+        self.params = convert.torch_to_params(sd, self.model)
+        self._n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(self.params))
+
+    # ------------------------------------------------------------------
+
+    def _build_model(self, model_name, args, compute_dtype, attn_impl, with_outputs=True):
+        input_adapters = {}
+        for domain in self.in_domains:
+            conf = default_domain_conf(domain)
+            if conf["semseg"]:
+                input_adapters[domain] = SemSegInputAdapter(
+                    num_classes=conf["num_classes"],
+                    stride_level=conf["stride_level"],
+                    patch_size_full=self.patch_size[domain],
+                    dim_class_emb=conf["dim_class_emb"],
+                    interpolate_class_emb=False,
+                    image_size=self.input_size[domain],
+                )
+            else:
+                input_adapters[domain] = PatchedInputAdapter(
+                    num_channels=conf["channels"],
+                    stride_level=conf["stride_level"],
+                    patch_size_full=self.patch_size[domain],
+                    image_size=self.input_size[domain],
+                )
+
+        output_adapters = None
+        if with_outputs and self.out_domains:
+            output_adapters = {}
+            for domain in self.out_domains:
+                conf = default_domain_conf(domain)
+                output_adapters[domain] = SpatialOutputAdapter(
+                    num_channels=conf.get("num_classes", conf["channels"]),
+                    stride_level=conf["stride_level"],
+                    patch_size_full=self.patch_size[domain],
+                    dim_tokens=args.get("decoder_dim", 256),
+                    depth=args.get("decoder_depth", 2),
+                    num_heads=args.get("decoder_num_heads", 8),
+                    use_task_queries=args.get("decoder_use_task_queries", True),
+                    task=domain,
+                    context_tasks=tuple(self.in_domains),
+                    use_xattn=args.get("decoder_use_xattn", True),
+                    image_size=self.input_size[domain],
+                )
+
+        if "large" in model_name:
+            dim, depth, heads = 1024, 24, 16
+        elif "base" in model_name:
+            dim, depth, heads = 768, 12, 12
+        else:
+            raise ValueError(f"Unknown model size: {model_name}")
+
+        return MIRAGEModel(
+            input_adapters=input_adapters,
+            output_adapters=output_adapters,
+            num_global_tokens=args.get("num_global_tokens", 1),
+            dim_tokens=dim, depth=depth, num_heads=heads,
+            compute_dtype=compute_dtype, attn_impl=attn_impl,
+        )
+
+    # ------------------------------------------------------------------
+
+    @functools.lru_cache(maxsize=16)
+    def _compiled_forward(self, present: tuple, batch: int):
+        """One jitted executable per (modalities-present, batch) pattern."""
+        model = self.model
+
+        num_visible = sum(
+            self.grid_size[d][0] * self.grid_size[d][1] for d in present)
+
+        def fwd(params, x, masks):
+            out = model(params, x, mask_inputs=False, task_masks=masks,
+                        num_visible=num_visible, deterministic=True)
+            return out[0]
+
+        return jax.jit(fwd)
+
+    def __call__(self, x: Dict[str, jax.Array]):
+        """x: task -> array ((B,1,H,W) float in [0,1], or (B,H,W) int labels
+        for bscanlayermap). Missing modalities are zero-filled and masked."""
+        x = dict(x)
+        some = next(iter(x.values()))
+        batch = int(some.shape[0])
+        present = tuple(sorted(k for k in x.keys() if k in self.in_domains))
+        masks = {}
+        for k in self.in_domains:
+            if k not in x:
+                if k == "bscanlayermap":
+                    x[k] = jnp.zeros((batch, *self.input_size[k]), jnp.int32)
+                else:
+                    x[k] = jnp.zeros((batch, 1, *self.input_size[k]), jnp.float32)
+                fill_v = 1
+            else:
+                x[k] = jnp.asarray(x[k])
+                if k == "bscanlayermap":
+                    x[k] = x[k].astype(jnp.int32)
+                fill_v = 0
+            n = self.grid_size[k][0] * self.grid_size[k][1]
+            masks[k] = jnp.full((batch, n), fill_v, jnp.int32)
+        fwd = self._compiled_forward(present, batch)
+        return fwd(self.params, x, masks)
+
+    def features(self, x: Dict[str, jax.Array]):
+        """Encoder-only features (hf/mirage_hf.py semantics): (B, N+G, D)."""
+        model = MIRAGEModel(
+            input_adapters=self.model.input_adapters, output_adapters=None,
+            num_global_tokens=self.model.num_global_tokens,
+            dim_tokens=self.model.dim_tokens, depth=self.model.depth,
+            num_heads=self.model.num_heads, compute_dtype=self.model.compute_dtype,
+            attn_impl=self.model.attn_impl)
+        x = {k: jnp.asarray(v) if k != "bscanlayermap" else jnp.asarray(v).astype(jnp.int32)
+             for k, v in x.items()}
+        return model.forward_light(self.params, x)

@@ -1,0 +1,89 @@
+"""MultiMAE token masking: Dirichlet task sampling + random token selection.
+
+Parity: mirage/model.py:145-239 (sample_alphas, generate_random_masks) and
+the explicit-mask path (model.py:378-382).
+
+TPU-native notes: everything is fixed-shape (num_encoded_tokens is static) so
+the whole pipeline jits; randomness is jax.random key-threaded (no global
+seed state); argsort-of-noise generates uniform random subsets exactly like
+the reference's noise-shuffle trick.
+"""
+
+import itertools
+from typing import Dict, List, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_alphas(key, batch: int, n_tasks: int, alphas: Union[float, Sequence[float]] = 1.0,
+                  eps: float = 1e-5):
+    """Uniformly choose a non-empty task subset per sample, then scale by
+    alphas (model.py:145-166). Returns (B, n_tasks) Dirichlet concentration."""
+    choices = jnp.asarray(
+        [list(c) for c in itertools.product([0, 1], repeat=n_tasks)][1:], jnp.float32)
+    idx = jax.random.randint(key, (batch,), 0, choices.shape[0])
+    alphas_arr = jnp.asarray(
+        [alphas] * n_tasks if isinstance(alphas, float) else list(alphas), jnp.float32)
+    return choices[idx] * alphas_arr + eps
+
+
+def generate_random_masks(
+    key,
+    num_tokens_per_task: Sequence[int],
+    batch: int,
+    num_encoded_tokens: int,
+    alphas: Union[float, Sequence[float]] = 1.0,
+    sample_tasks_uniformly: bool = False,
+) -> Tuple[List[jax.Array], jax.Array, jax.Array]:
+    """Sample `num_encoded_tokens` visible tokens across tasks via Dirichlet
+    sampling (model.py:168-239).
+
+    Returns:
+      task_masks: list of (B, n_i) int32, 0 = visible, 1 = masked
+      ids_keep: (B, num_encoded_tokens) indices of visible tokens
+      ids_restore: (B, N) unshuffle indices
+    """
+    n_tasks = len(num_tokens_per_task)
+    k_alpha, k_dir, k_shuf = jax.random.split(key, 3)
+    if sample_tasks_uniformly:
+        conc = sample_alphas(k_alpha, batch, n_tasks, alphas)
+        task_dist = jax.random.dirichlet(k_dir, conc)
+    else:
+        alphas_arr = jnp.asarray(
+            [alphas] * n_tasks if isinstance(alphas, float) else list(alphas), jnp.float32)
+        task_dist = jax.random.dirichlet(k_dir, alphas_arr, shape=(batch,))
+    samples_per_task = jnp.round(task_dist * num_encoded_tokens).astype(jnp.int32)
+
+    task_masks = []
+    for i, n in enumerate(num_tokens_per_task):
+        noise = jax.random.uniform(jax.random.fold_in(k_shuf, i), (batch, n))
+        perm = jnp.argsort(noise, axis=1)  # uniform random permutation
+        mask = jnp.where(perm < samples_per_task[:, i:i + 1], 0, 1)
+        task_masks.append(mask)
+
+    mask_all = jnp.concatenate(task_masks, axis=1)
+    tiebreak = jax.random.uniform(jax.random.fold_in(k_shuf, n_tasks), mask_all.shape)
+    ids_shuffle = jnp.argsort(mask_all.astype(jnp.float32) + tiebreak, axis=1)
+    ids_restore = jnp.argsort(ids_shuffle, axis=1)
+    ids_keep = ids_shuffle[:, :num_encoded_tokens]
+
+    # Re-binarize so exactly num_encoded_tokens are visible (rounding fixup,
+    # model.py:229-233)
+    mask_all = jnp.ones_like(mask_all).at[:, :num_encoded_tokens].set(0)
+    mask_all = jnp.take_along_axis(mask_all, ids_restore, axis=1)
+    splits = list(jnp.cumsum(jnp.asarray(num_tokens_per_task))[:-1])
+    task_masks = jnp.split(mask_all, splits, axis=1)
+    return list(task_masks), ids_keep, ids_restore
+
+
+def masks_to_indices(task_masks: Dict[str, jax.Array], task_order: Sequence[str],
+                     num_visible: int):
+    """Explicit-mask path (model.py:378-382): derive shuffle/restore/keep
+    indices from user-provided binary masks. `num_visible` must be static
+    (it is: the wrapper computes it from which modalities are present)."""
+    mask_all = jnp.concatenate([task_masks[t] for t in task_order], axis=1)
+    ids_shuffle = jnp.argsort(mask_all, axis=1, stable=True)
+    ids_restore = jnp.argsort(ids_shuffle, axis=1, stable=True)
+    ids_keep = ids_shuffle[:, :num_visible]
+    return ids_keep, ids_restore

@@ -1,0 +1,93 @@
+"""ViT encoder as a lax.scan over stacked per-layer parameters.
+
+TPU-native design: stacking all L transformer blocks into one pytree with a
+leading layer axis gives (a) O(1) HLO size and fast compiles, (b) a natural
+`jax.checkpoint` boundary per layer for rematerialization, and (c) trivially
+shardable parameters (the layer axis is never sharded; dim axes map to the
+tensor/fsdp mesh axes). The reference runs an nn.Sequential python loop
+(mirage/model.py:81-93, :408-409).
+"""
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mirage_tpu.nn.block import block_apply, block_init
+
+
+def encoder_init(key, depth, dim, mlp_ratio=4.0, qkv_bias=True, dtype=jnp.float32):
+    """Stacked params: every leaf has leading dim `depth`."""
+    keys = jax.random.split(key, depth)
+    blocks = [block_init(k, dim, mlp_ratio=mlp_ratio, qkv_bias=qkv_bias, dtype=dtype)
+              for k in keys]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def drop_path_rates(drop_path_rate: float, depth: int):
+    """Stochastic-depth linspace decay (model.py:80)."""
+    return jnp.linspace(0.0, drop_path_rate, depth)
+
+
+def layer_params(params, i):
+    return jax.tree_util.tree_map(lambda p: p[i], params)
+
+
+def encoder_apply(
+    params,
+    x,
+    num_heads: int,
+    *,
+    depth: int,
+    impl: str = "auto",
+    drop: float = 0.0,
+    attn_drop: float = 0.0,
+    drop_path_rate: float = 0.0,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    return_layers: Optional[Sequence[int]] = None,
+    remat: bool = False,
+):
+    """Run the block stack. If `return_layers` is given, returns
+    (final_tokens, {layer_idx: tokens}) using an unrolled loop (needed by the
+    DPT head's feature hooks); otherwise a single fused scan."""
+    if return_layers is not None:
+        outs = {}
+        dpr = drop_path_rates(drop_path_rate, depth)
+        for i in range(depth):
+            r = jax.random.fold_in(rng, i) if rng is not None else None
+            x = block_apply(layer_params(params, i), x, num_heads, impl=impl,
+                            drop=drop, attn_drop=attn_drop,
+                            drop_path_rate=float(dpr[i]),
+                            deterministic=deterministic, rng=r)
+            if i in return_layers:
+                outs[i] = x
+        return x, outs
+
+    dpr = drop_path_rates(drop_path_rate, depth)
+
+    def body(carry, xs):
+        if deterministic:
+            p, rate = xs
+            key = None
+        else:
+            p, rate, key = xs
+        fn = partial(block_apply, num_heads=num_heads, impl=impl, drop=drop,
+                     attn_drop=attn_drop, deterministic=deterministic)
+        if remat:
+            fn = jax.checkpoint(
+                lambda p_, c_, rate_, key_: block_apply(
+                    p_, c_, num_heads, impl=impl, drop=drop, attn_drop=attn_drop,
+                    drop_path_rate=rate_, deterministic=deterministic, rng=key_))
+            y = fn(p, carry, rate, key)
+        else:
+            y = fn(p, carry, drop_path_rate=rate, rng=key)
+        return y, None
+
+    if deterministic:
+        xs = (params, dpr)
+    else:
+        xs = (params, dpr, jax.random.split(rng, depth))
+    x, _ = jax.lax.scan(body, x, xs)
+    return x, None

@@ -1,0 +1,291 @@
+"""MIRAGE core model: masked multimodal pretraining forward + light forward.
+
+Parity: mirage/model.py (MIRAGEModel.forward :305-431, MIRAGELight :478-567,
+size registry :434-475, :570-609). Functional design: the model is a frozen
+dataclass of configs; parameters are a plain pytree created by
+``init_params``; all forwards are pure functions of (params, inputs, rng).
+"""
+
+import dataclasses
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from mirage_tpu.masking.masking import generate_random_masks, masks_to_indices
+from mirage_tpu.models.encoder import encoder_apply, encoder_init
+from mirage_tpu.nn import init as vinit
+from mirage_tpu.utils.factory import get_factory_adder
+from mirage_tpu.adapters.input_adapters import SemSegInputAdapter
+
+
+add_model, model_factory = get_factory_adder()
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class MIRAGEModel:
+    """Multimodal masked ViT. `input_adapters` / `output_adapters` are
+    task-keyed dicts of adapter configs (each with init_params/__call__)."""
+
+    input_adapters: Mapping[str, Any]
+    output_adapters: Optional[Mapping[str, Any]] = None
+    num_global_tokens: int = 1
+    dim_tokens: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    compute_dtype: Any = jnp.float32
+    attn_impl: str = "auto"
+    remat: bool = False
+
+    # ------------------------------------------------------------------ init
+
+    def init_params(self, key, dtype=jnp.float32):
+        n_adapters = len(self.input_adapters) + (
+            len(self.output_adapters) if self.output_adapters else 0)
+        keys = jax.random.split(key, 3 + n_adapters)
+        params: Dict[str, Any] = {}
+        i = 0
+        params["input_adapters"] = {}
+        for task, adapter in self.input_adapters.items():
+            params["input_adapters"][task] = adapter.init_params(
+                keys[i], self.dim_tokens, dtype=dtype)
+            i += 1
+        if self.output_adapters is not None:
+            params["output_adapters"] = {}
+            for task, adapter in self.output_adapters.items():
+                params["output_adapters"][task] = adapter.init_params(
+                    keys[i], self.dim_tokens, dtype=dtype)
+                i += 1
+        params["global_tokens"] = vinit.trunc_normal(
+            keys[i], (1, self.num_global_tokens, self.dim_tokens), std=0.02, dtype=dtype)
+        params["encoder"] = encoder_init(
+            keys[i + 1], self.depth, self.dim_tokens, mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias, dtype=dtype)
+        return params
+
+    # ----------------------------------------------------------- input info
+
+    def generate_input_info(self, x: Mapping[str, jax.Array]) -> Dict[str, Any]:
+        """Static token bookkeeping (model.py:279-303). Computed from actual
+        input shapes — everything here is Python-side (shapes are static
+        under jit)."""
+        info: Dict[str, Any] = {"tasks": {}}
+        i = 0
+        for domain, tensor in x.items():
+            if domain not in self.input_adapters:
+                continue
+            adapter = self.input_adapters[domain]
+            if isinstance(adapter, SemSegInputAdapter):
+                h, w = tensor.shape[-2] * adapter.stride_level, tensor.shape[-1] * adapter.stride_level
+            else:
+                h, w = tensor.shape[-2], tensor.shape[-1]
+            n = adapter.num_tokens((tensor.shape[-2], tensor.shape[-1]))
+            ph, pw = adapter.patch_hw
+            info["tasks"][domain] = {
+                "num_tokens": n,
+                "has_posemb": True,
+                "start_idx": i,
+                "end_idx": i + n,
+                "image_size": (h, w),
+                "grid_size": (tensor.shape[-2] // ph, tensor.shape[-1] // pw),
+            }
+            i += n
+        info["num_task_tokens"] = i
+        info["num_global_tokens"] = self.num_global_tokens
+        return info
+
+    # -------------------------------------------------------------- forward
+
+    def embed_inputs(self, params, x: Mapping[str, jax.Array]):
+        tokens = {
+            domain: self.input_adapters[domain](
+                params["input_adapters"][domain], tensor,
+                compute_dtype=self.compute_dtype)
+            for domain, tensor in x.items()
+            if domain in self.input_adapters
+        }
+        return tokens
+
+    def __call__(
+        self,
+        params,
+        x: Union[Mapping[str, jax.Array], jax.Array],
+        *,
+        mask_inputs: bool = True,
+        task_masks: Optional[Mapping[str, jax.Array]] = None,
+        num_encoded_tokens: int = 128,
+        num_visible: Optional[int] = None,
+        alphas: Union[float, Sequence[float]] = 1.0,
+        sample_tasks_uniformly: bool = False,
+        rng: Optional[jax.Array] = None,
+        deterministic: bool = True,
+        return_all_layers: bool = False,
+        reshape: bool = False,
+    ):
+        """Masked pretraining forward (model.py:305-431).
+
+        Returns (preds_dict, task_masks) when output adapters exist, else
+        (encoder_tokens, task_masks).
+        """
+        if not isinstance(x, Mapping):
+            x = {"bscan": x}
+        input_info = self.generate_input_info(x)
+        task_order = [d for d in x.keys() if d in self.input_adapters]
+        input_task_tokens = self.embed_inputs(params, x)
+        b = next(iter(input_task_tokens.values())).shape[0]
+        num_tokens_per_task = [input_task_tokens[t].shape[1] for t in task_order]
+
+        if not mask_inputs:
+            num_encoded = sum(num_tokens_per_task)
+        else:
+            num_encoded = num_encoded_tokens
+
+        if task_masks is None:
+            mask_rng = rng if rng is not None else jax.random.PRNGKey(0)
+            mask_rng, enc_rng = jax.random.split(mask_rng)
+            masks_list, ids_keep, ids_restore = generate_random_masks(
+                mask_rng, num_tokens_per_task, b, num_encoded,
+                alphas=alphas, sample_tasks_uniformly=sample_tasks_uniformly)
+            task_masks = dict(zip(task_order, masks_list))
+        else:
+            # Explicit-mask path (model.py:378-382). The visible-token count is
+            # data-dependent in the reference; here it must be supplied
+            # statically via `num_visible` (the wrapper derives it from which
+            # modalities are present) to keep shapes jit-stable.
+            enc_rng = rng
+            ids_keep, ids_restore = masks_to_indices(
+                task_masks, task_order, num_visible if num_visible is not None else num_encoded)
+
+        input_tokens = jnp.concatenate([input_task_tokens[t] for t in task_order], axis=1)
+        input_tokens = jnp.take_along_axis(input_tokens, ids_keep[..., None], axis=1)
+
+        global_tokens = jnp.broadcast_to(
+            params["global_tokens"].astype(input_tokens.dtype),
+            (b, self.num_global_tokens, self.dim_tokens))
+        input_tokens = jnp.concatenate([input_tokens, global_tokens], axis=1)
+
+        if return_all_layers:
+            _, layer_outs = encoder_apply(
+                params["encoder"], input_tokens, self.num_heads, depth=self.depth,
+                impl=self.attn_impl, drop=self.drop_rate, attn_drop=self.attn_drop_rate,
+                drop_path_rate=self.drop_path_rate, deterministic=deterministic,
+                rng=enc_rng, return_layers=tuple(range(self.depth)), remat=self.remat)
+            # (model.py:393-406): all-layer spatial features, global dropped
+            first = task_order[0]
+            gh, gw = input_info["tasks"][first]["grid_size"]
+            feats = {}
+            for i in range(self.depth):
+                t = layer_outs[i][:, : -self.num_global_tokens]
+                feats[f"layer_{i}"] = t.reshape(b, gh, gw, -1).transpose(0, 3, 1, 2)
+            return feats
+
+        encoder_tokens, _ = encoder_apply(
+            params["encoder"], input_tokens, self.num_heads, depth=self.depth,
+            impl=self.attn_impl, drop=self.drop_rate, attn_drop=self.attn_drop_rate,
+            drop_path_rate=self.drop_path_rate, deterministic=deterministic,
+            rng=enc_rng, remat=self.remat)
+
+        if self.output_adapters is None:
+            if reshape:
+                first = task_order[0]
+                gh, gw = input_info["tasks"][first]["grid_size"]
+                encoder_tokens = encoder_tokens[:, : -self.num_global_tokens]
+                encoder_tokens = encoder_tokens.reshape(b, gh, gw, -1).transpose(0, 3, 1, 2)
+            return encoder_tokens, task_masks
+
+        dec_rng = jax.random.split(enc_rng, len(self.output_adapters)) \
+            if (enc_rng is not None and not deterministic) else None
+        preds = {}
+        for j, (domain, adapter) in enumerate(self.output_adapters.items()):
+            preds[domain] = adapter(
+                params["output_adapters"][domain], encoder_tokens, input_info,
+                ids_keep, ids_restore, deterministic=deterministic,
+                rng=None if dec_rng is None else dec_rng[j], impl=self.attn_impl)
+        return preds, task_masks
+
+    # ---------------------------------------------------------- light path
+
+    def process_input(self, params, x: Mapping[str, jax.Array]):
+        """Unmasked token assembly (MIRAGELight.process_input, model.py:497-526)."""
+        input_info = self.generate_input_info(x)
+        task_order = [d for d in x.keys() if d in self.input_adapters]
+        input_task_tokens = self.embed_inputs(params, x)
+        b = next(iter(input_task_tokens.values())).shape[0]
+        tokens = jnp.concatenate([input_task_tokens[t] for t in task_order], axis=1)
+        global_tokens = jnp.broadcast_to(
+            params["global_tokens"].astype(tokens.dtype),
+            (b, self.num_global_tokens, self.dim_tokens))
+        tokens = jnp.concatenate([tokens, global_tokens], axis=1)
+        return tokens, input_info
+
+    def forward_light(
+        self,
+        params,
+        x: Union[Mapping[str, jax.Array], jax.Array],
+        *,
+        return_all_layers: bool = False,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Plain multimodal ViT forward, no masking (MIRAGELight.forward,
+        model.py:528-567). Returns encoder tokens (or per-layer list) if no
+        output adapters, else task->prediction dict."""
+        tokens, input_info = self.process_input(params, x)
+        if return_all_layers:
+            _, layer_outs = encoder_apply(
+                params["encoder"], tokens, self.num_heads, depth=self.depth,
+                impl=self.attn_impl, drop=self.drop_rate, attn_drop=self.attn_drop_rate,
+                drop_path_rate=self.drop_path_rate, deterministic=deterministic,
+                rng=rng, return_layers=tuple(range(self.depth)), remat=self.remat)
+            encoder_tokens = [layer_outs[i] for i in range(self.depth)]
+            final = encoder_tokens
+        else:
+            final, _ = encoder_apply(
+                params["encoder"], tokens, self.num_heads, depth=self.depth,
+                impl=self.attn_impl, drop=self.drop_rate, attn_drop=self.attn_drop_rate,
+                drop_path_rate=self.drop_path_rate, deterministic=deterministic,
+                rng=rng, remat=self.remat)
+            encoder_tokens = final
+
+        if self.output_adapters is None:
+            return encoder_tokens
+
+        preds = {
+            domain: adapter(
+                params["output_adapters"][domain], encoder_tokens, input_info,
+                deterministic=deterministic)
+            for domain, adapter in self.output_adapters.items()
+        }
+        return preds
+
+
+# ---------------------------------------------------------------- registry
+
+@add_model
+def miragepre_base(input_adapters, output_adapters, **kwargs):
+    return MIRAGEModel(input_adapters=input_adapters, output_adapters=output_adapters,
+                       dim_tokens=768, depth=12, num_heads=12, mlp_ratio=4,
+                       qkv_bias=True, **kwargs)
+
+
+@add_model
+def miragepre_large(input_adapters, output_adapters, **kwargs):
+    return MIRAGEModel(input_adapters=input_adapters, output_adapters=output_adapters,
+                       dim_tokens=1024, depth=24, num_heads=16, mlp_ratio=4,
+                       qkv_bias=True, **kwargs)
+
+
+# The "light" variants share the class; the light forward is forward_light.
+@add_model
+def miragelight_base(input_adapters, output_adapters, **kwargs):
+    return miragepre_base(input_adapters, output_adapters, **kwargs)
+
+
+@add_model
+def miragelight_large(input_adapters, output_adapters, **kwargs):
+    return miragepre_large(input_adapters, output_adapters, **kwargs)

@@ -1,0 +1,77 @@
+"""Transformer blocks: pre-LN encoder Block and DecoderBlock.
+
+Parity: mirage/utils.py:226-310. Residual structure:
+  x = x + DropPath(Attn(LN(x))); x = x + DropPath(MLP(LN(x)))
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mirage_tpu.nn.attention import (
+    attention_apply,
+    attention_init,
+    cross_attention_apply,
+    cross_attention_init,
+)
+from mirage_tpu.nn.layers import drop_path, layer_norm, layer_norm_init, mlp_apply, mlp_init
+
+
+def block_init(key, dim, mlp_ratio=4.0, qkv_bias=False, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "norm1": layer_norm_init(dim, dtype),
+        "attn": attention_init(k1, dim, qkv_bias=qkv_bias, dtype=dtype),
+        "norm2": layer_norm_init(dim, dtype),
+        "mlp": mlp_init(k2, dim, int(dim * mlp_ratio), dtype=dtype),
+    }
+
+
+def block_apply(p, x, num_heads, *, impl="auto", drop=0.0, attn_drop=0.0,
+                drop_path_rate=0.0, deterministic=True, rng: Optional[jax.Array] = None):
+    r = [None] * 4
+    if rng is not None:
+        r = list(jax.random.split(rng, 4))
+    h = layer_norm(p["norm1"], x)
+    h = attention_apply(p["attn"], h, num_heads, impl=impl, attn_drop=attn_drop,
+                        proj_drop=drop, deterministic=deterministic, rng=r[0])
+    x = x + drop_path(h, drop_path_rate, deterministic=deterministic, rng=r[1])
+    h = layer_norm(p["norm2"], x)
+    h = mlp_apply(p["mlp"], h, dropout_rate=drop, deterministic=deterministic, rng=r[2])
+    x = x + drop_path(h, drop_path_rate, deterministic=deterministic, rng=r[3])
+    return x
+
+
+def decoder_block_init(key, dim, mlp_ratio=4.0, qkv_bias=False, dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "norm1": layer_norm_init(dim, dtype),
+        "self_attn": attention_init(k1, dim, qkv_bias=qkv_bias, dtype=dtype),
+        "cross_attn": cross_attention_init(k2, dim, qkv_bias=qkv_bias, dtype=dtype),
+        "query_norm": layer_norm_init(dim, dtype),
+        "context_norm": layer_norm_init(dim, dtype),
+        "norm2": layer_norm_init(dim, dtype),
+        "mlp": mlp_init(k3, dim, int(dim * mlp_ratio), dtype=dtype),
+    }
+
+
+def decoder_block_apply(p, x, context, num_heads, *, impl="auto", drop=0.0,
+                        attn_drop=0.0, drop_path_rate=0.0, deterministic=True,
+                        rng: Optional[jax.Array] = None):
+    r = [None] * 6
+    if rng is not None:
+        r = list(jax.random.split(rng, 6))
+    h = attention_apply(p["self_attn"], layer_norm(p["norm1"], x), num_heads,
+                        impl=impl, attn_drop=attn_drop, proj_drop=drop,
+                        deterministic=deterministic, rng=r[0])
+    x = x + drop_path(h, drop_path_rate, deterministic=deterministic, rng=r[1])
+    h = cross_attention_apply(p["cross_attn"], layer_norm(p["query_norm"], x),
+                              layer_norm(p["context_norm"], context), num_heads,
+                              impl=impl, attn_drop=attn_drop, proj_drop=drop,
+                              deterministic=deterministic, rng=r[2])
+    x = x + drop_path(h, drop_path_rate, deterministic=deterministic, rng=r[3])
+    h = mlp_apply(p["mlp"], layer_norm(p["norm2"], x), dropout_rate=drop,
+                  deterministic=deterministic, rng=r[4])
+    x = x + drop_path(h, drop_path_rate, deterministic=deterministic, rng=r[5])
+    return x
