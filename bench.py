@@ -1,0 +1,78 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline workload: MIRAGE-Large inference on the mirage_wrapper.py path
+(bscan present at 512²/p32; slo + 13-class layermap reconstructed by the
+three SpatialOutputAdapter decoders), bf16 compute, batched.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md). The
+comparison constant below is a first-principles estimate of the PyTorch
+reference on A100 fp16 for the same workload:
+  ViT-L encoder on 257 tokens + 3 cross-attn decoders ≈ 175 GFLOPs/img;
+  A100 fp16 peak 312 TFLOP/s at a generous 50% MFU → ~890 img/s.
+vs_baseline = measured / 890 (so the >2x A100 north star reads as >2.0).
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_EST_IMG_PER_SEC = 890.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_mirage
+
+    model = _build_mirage("large", img=512, layermap=128,
+                          compute_dtype=jnp.bfloat16)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    batch = 32
+    rng = np.random.default_rng(0)
+    x = {
+        "bscan": jnp.asarray(rng.random((batch, 1, 512, 512)), jnp.float32),
+        "slo": jnp.zeros((batch, 1, 512, 512), jnp.float32),
+        "bscanlayermap": jnp.zeros((batch, 128, 128), jnp.int32),
+    }
+    masks = {
+        "bscan": jnp.zeros((batch, 256), jnp.int32),
+        "slo": jnp.ones((batch, 256), jnp.int32),
+        "bscanlayermap": jnp.ones((batch, 256), jnp.int32),
+    }
+
+    @jax.jit
+    def fwd(params, x, masks):
+        preds, _ = model(params, x, mask_inputs=False, task_masks=masks,
+                         num_visible=256, deterministic=True)
+        return preds
+
+    # Warmup/compile
+    out = fwd(params, x, masks)
+    jax.block_until_ready(out)
+
+    # Synchronize every iteration: the tunneled device queue completes
+    # out-of-order, so blocking only on the last future under-measures.
+    iters = 20
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fwd(params, x, masks)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    img_per_sec = batch / dt
+
+    print(json.dumps({
+        "metric": "mirage_large_infer_images_per_sec_per_chip",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(img_per_sec / A100_EST_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

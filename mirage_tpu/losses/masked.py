@@ -1,0 +1,73 @@
+"""Masked reconstruction losses for MultiMAE pretraining.
+
+Parity: mirage/criterion.py — MaskedCrossEntropyLoss (:11-51) and
+MaskedMSELoss (:70-117) including the norm_pix per-patch standardization,
+nearest-neighbor mask upsampling, per-sample masked mean, and nanmean over
+the batch (samples whose mask is empty contribute NaN and are excluded).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mirage_tpu.nn.resize import resize2d
+from mirage_tpu.ops.patch_embed import patchify, unpatchify
+
+
+def _upsample_mask(mask, nh, nw, h, w):
+    """(B, nh*nw) token mask -> (B, H, W) pixel mask via nearest upsample."""
+    m = mask.reshape(mask.shape[0], nh, nw).astype(jnp.float32)
+    return resize2d(m, (h, w), mode="nearest")
+
+
+def _masked_mean(loss_pix, mask_pix):
+    """Per-sample masked mean then nanmean over batch (criterion.py:46-47)."""
+    num = jnp.sum(loss_pix.reshape(loss_pix.shape[0], -1), axis=1)
+    den = jnp.sum(mask_pix.reshape(mask_pix.shape[0], -1), axis=1)
+    per_sample = num / den  # inf/nan where den == 0
+    valid = den > 0
+    total = jnp.sum(jnp.where(valid, per_sample, 0.0))
+    count = jnp.sum(valid)
+    # zero-mask guard (criterion.py:36-37, :103-104): all-empty -> 0 loss
+    return jnp.where(count > 0, total / jnp.maximum(count, 1), 0.0)
+
+
+def masked_mse_loss(pred, target, mask: Optional[jax.Array] = None,
+                    patch_size: int = 16, stride: int = 1, norm_pix: bool = False):
+    """pred/target: (B, C, H, W); mask: (B, N) with 1 = masked (loss there)."""
+    scale = patch_size // stride
+    h, w = pred.shape[-2:]
+    nh, nw = h // scale, w // scale
+    if norm_pix:
+        t = patchify(target, scale, scale)
+        # NOTE: reference patchifies with (p1 p2 c) order; stats are over the
+        # whole patch so flat order is irrelevant.
+        mean = t.mean(axis=-1, keepdims=True)
+        var = t.var(axis=-1, keepdims=True, ddof=1)  # torch var is unbiased
+        t = (t - mean) / jnp.sqrt(var + 1e-6)
+        target = unpatchify(t, nh, nw, scale, scale, target.shape[1])
+    loss = (pred - target) ** 2
+    if mask is None:
+        return loss.mean()
+    loss = loss.mean(axis=1)  # (B, H, W)
+    mask_pix = _upsample_mask(mask, nh, nw, h, w)
+    return _masked_mean(loss * mask_pix, mask_pix)
+
+
+def masked_ce_loss(logits, target, mask: Optional[jax.Array] = None,
+                   patch_size: int = 16, stride: int = 1,
+                   label_smoothing: float = 0.0):
+    """logits: (B, C, H, W); target: (B, H, W) int; mask: (B, N)."""
+    scale = patch_size // stride
+    h, w = logits.shape[-2:]
+    nh, nw = h // scale, w // scale
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
+    nll = -jnp.take_along_axis(logp, target[:, None], axis=1)[:, 0]
+    if label_smoothing > 0.0:
+        smooth = -logp.mean(axis=1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    if mask is None:
+        return nll.mean()
+    mask_pix = _upsample_mask(mask, nh, nw, h, w)
+    return _masked_mean(nll * mask_pix, mask_pix)

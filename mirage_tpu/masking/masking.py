@@ -72,7 +72,9 @@ def generate_random_masks(
     # model.py:229-233)
     mask_all = jnp.ones_like(mask_all).at[:, :num_encoded_tokens].set(0)
     mask_all = jnp.take_along_axis(mask_all, ids_restore, axis=1)
-    splits = list(jnp.cumsum(jnp.asarray(num_tokens_per_task))[:-1])
+    import numpy as np
+
+    splits = list(np.cumsum(np.asarray(num_tokens_per_task))[:-1])
     task_masks = jnp.split(mask_all, splits, axis=1)
     return list(task_masks), ids_keep, ids_restore
 

@@ -57,6 +57,10 @@ def sdpa(q, k, v, scale, *, impl: str = "auto", attn_drop: float = 0.0,
     if impl in ("auto", "flash"):
         if (attn_drop == 0.0 or deterministic) and _on_tpu():
             use_flash = True
+        if impl == "auto" and k.shape[2] < 512:
+            # Measured on v5e: below ~512 keys the XLA fused path beats the
+            # kernel (per-program overhead dominates the tiny matmuls).
+            use_flash = False
     if impl == "xla":
         use_flash = False
     if use_flash:

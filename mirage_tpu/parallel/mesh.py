@@ -1,0 +1,80 @@
+"""Device mesh + sharding specs: the distributed backend.
+
+The reference has no distributed code (SURVEY.md §2.5) — this is the designed
+TPU-native equivalent. Strategy (scaling-book recipe):
+  - 3-axis mesh ('data', 'fsdp', 'tensor') over ICI; unused axes size 1.
+  - Batch is sharded over ('data', 'fsdp') — fsdp acts as zero-style sharded
+    data parallelism; gradients all-reduce over both axes (XLA emits psum
+    from the sharding specs, no hand-written collectives).
+  - Encoder parameters (the bulk of FLOPs/bytes) are sharded: attention
+    qkv/mlp-in over ('fsdp' x 'tensor') on (in, out) dims, proj/mlp-out
+    transposed — the classic Megatron pattern, expressed purely via
+    NamedSharding so XLA places all-reduces after row-parallel matmuls.
+  - Adapters/heads/norms are replicated (tiny).
+Multi-host: the same specs work over DCN-connected hosts via
+jax.make_array_from_process_local_data in the input pipeline (data/).
+"""
+
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axes: Optional[Dict[str, int]] = None, devices=None) -> Mesh:
+    """axes e.g. {'data': 2, 'fsdp': 2, 'tensor': 2}. Defaults to pure data
+    parallelism over all devices."""
+    devices = devices if devices is not None else jax.devices()
+    if axes is None:
+        axes = {"data": len(devices), "fsdp": 1, "tensor": 1}
+    for name in ("data", "fsdp", "tensor"):
+        axes.setdefault(name, 1)
+    n = axes["data"] * axes["fsdp"] * axes["tensor"]
+    assert n == len(devices), f"mesh {axes} != {len(devices)} devices"
+    arr = np.asarray(devices).reshape(axes["data"], axes["fsdp"], axes["tensor"])
+    return Mesh(arr, axis_names=("data", "fsdp", "tensor"))
+
+
+def batch_spec() -> P:
+    """Batch dim sharded over data+fsdp (leading axis of every input)."""
+    return P(("data", "fsdp"))
+
+
+def _encoder_spec(names, leaf) -> P:
+    """Partition specs for stacked encoder leaves (leading layer axis)."""
+    leaf_name = names[-1]
+    parent = names[-2] if len(names) >= 2 else ""
+    if parent == "qkv" and leaf_name == "w":      # (L, D, 3D)
+        return P(None, "fsdp", "tensor")
+    if parent == "qkv" and leaf_name == "b":      # (L, 3D)
+        return P(None, "tensor")
+    if parent == "proj" and leaf_name == "w":     # (L, D, D) row-parallel
+        return P(None, "tensor", "fsdp")
+    if parent == "fc1" and leaf_name == "w":      # (L, D, 4D)
+        return P(None, "fsdp", "tensor")
+    if parent == "fc1" and leaf_name == "b":
+        return P(None, "tensor")
+    if parent == "fc2" and leaf_name == "w":      # (L, 4D, D)
+        return P(None, "tensor", "fsdp")
+    return P()  # norms, small biases: replicated
+
+
+def param_specs(params) -> Dict:
+    """Pytree of PartitionSpec matching `params`."""
+
+    def spec(path, leaf):
+        names = [str(p.key) if isinstance(p, jax.tree_util.DictKey) else str(getattr(p, "idx", p))
+                 for p in path]
+        if names and names[0] == "encoder":
+            return _encoder_spec(names, leaf)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_params(params, mesh: Mesh):
+    """Place params on the mesh according to param_specs."""
+    specs = param_specs(params)
+    return jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs)

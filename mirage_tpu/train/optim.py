@@ -1,0 +1,213 @@
+"""Optimizer with parameter-group semantics over pytrees.
+
+Capability parity: mutils/optim_factory.py — AdamW/Adam/SGD with
+  - no-weight-decay groups (1-D params, biases, model skip list:
+    pos_emb/class_emb/global_tokens/mask_token/task_embeddings),
+  - layer-wise LR decay (input adapters -> layer 0, encoder block i -> i+1,
+    heads -> depth+1; scale decay^(depth+1-layer_id)),
+  - frozen-encoder fine-tuning (seg default, optim_factory.py:184-190),
+  - decoder_decay group,
+and mutils/native_scaler.py grad-norm clip / skip-on-explosion semantics
+(pure-JAX: bf16 training needs no loss scaling).
+
+TPU-native twist: encoder params are STACKED (leading layer axis, from the
+lax.scan design), so layer-wise LR scales are per-leaf *vectors* broadcast
+along the layer axis instead of per-group python partitions. LR and WD are
+traced scalars fed per step from host-side schedule arrays.
+"""
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+NO_DECAY_LEAF_NAMES = {"b", "bias", "scale"}
+# reference no_weight_decay sets (model.py:126-143, adapters)
+NO_DECAY_PATH_NAMES = {"pos_emb", "class_emb", "global_tokens", "mask_token",
+                       "task_embeddings", "cls_emb"}
+# non-learnable buffers (requires_grad=False in the reference): fixed sincos
+# posembs are frozen unless learnable_pos_emb
+FROZEN_PATH_NAMES_DEFAULT = ()
+
+
+def _path_names(path) -> Tuple[str, ...]:
+    names = []
+    for p in path:
+        if isinstance(p, jax.tree_util.DictKey):
+            names.append(str(p.key))
+        elif isinstance(p, jax.tree_util.SequenceKey):
+            names.append(str(p.idx))
+        else:
+            names.append(str(p))
+    return tuple(names)
+
+
+@dataclasses.dataclass
+class OptimizerConfig:
+    opt: str = "adamw"
+    betas: Tuple[float, float] = (0.9, 0.95)
+    eps: float = 1e-8
+    weight_decay: float = 0.05
+    momentum: float = 0.9
+    layer_decay: Optional[float] = None  # e.g. 0.75 for seg tuning
+    num_layers: int = 12
+    freeze_encoder: bool = False
+    frozen_paths: Tuple[str, ...] = ()   # extra frozen subtrees by name
+    decoder_decay: Optional[float] = None
+    clip_grad: Optional[float] = None
+    skip_grad: Optional[float] = None    # skip update if grad norm >= this
+
+
+def _leaf_meta(cfg: OptimizerConfig, names: Tuple[str, ...], leaf) -> Dict[str, Any]:
+    """Compute (use_decay, decay_value, lr_scale, trainable) for one leaf."""
+    last = names[-1]
+    no_decay = last in NO_DECAY_LEAF_NAMES or any(
+        n in NO_DECAY_PATH_NAMES for n in names)
+    wd = 0.0 if no_decay else cfg.weight_decay
+    if cfg.decoder_decay is not None and not no_decay and "output_adapters" in names:
+        wd = cfg.decoder_decay
+
+    trainable = True
+    if "pos_emb" in names:
+        # fixed sincos posembs: excluded from the optimizer in the reference
+        # (requires_grad=False). Learnable-posemb configs can re-enable via
+        # frozen_paths override if needed.
+        trainable = False
+    if cfg.freeze_encoder and names[0] == "encoder":
+        trainable = False
+    if any(n in cfg.frozen_paths for n in names):
+        trainable = False
+
+    # layer-wise lr scale
+    lr_scale: Any = 1.0
+    if cfg.layer_decay is not None:
+        L = cfg.num_layers
+        if names[0] == "input_adapters" or names[0] == "global_tokens":
+            lr_scale = cfg.layer_decay ** (L + 1)
+        elif names[0] == "encoder":
+            # stacked leaf: per-layer vector decay^(L - i), broadcast over
+            # the leading layer axis
+            scales = cfg.layer_decay ** (L - np.arange(L))
+            lr_scale = jnp.asarray(scales, jnp.float32).reshape(
+                (L,) + (1,) * (leaf.ndim - 1))
+        else:
+            lr_scale = 1.0
+    return {"wd": wd, "lr_scale": lr_scale, "trainable": trainable}
+
+
+def global_norm(tree) -> jax.Array:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
+
+
+class GroupedOptimizer:
+    """AdamW / Adam / SGD with per-leaf group metadata. Update signature takes
+    traced lr (and optional wd override) scalars each step."""
+
+    def __init__(self, cfg: OptimizerConfig):
+        self.cfg = cfg
+
+    def meta(self, params):
+        return {
+            "wd": jax.tree_util.tree_map_with_path(
+                lambda p, l: _leaf_meta(self.cfg, _path_names(p), l)["wd"], params),
+            "lr_scale": jax.tree_util.tree_map_with_path(
+                lambda p, l: _leaf_meta(self.cfg, _path_names(p), l)["lr_scale"], params),
+            "trainable": jax.tree_util.tree_map_with_path(
+                lambda p, l: _leaf_meta(self.cfg, _path_names(p), l)["trainable"], params),
+        }
+
+    def init(self, params):
+        zeros = lambda p: jnp.zeros_like(p)
+        state = {"count": jnp.zeros((), jnp.int32)}
+        if self.cfg.opt in ("adamw", "adam"):
+            state["mu"] = jax.tree_util.tree_map(zeros, params)
+            state["nu"] = jax.tree_util.tree_map(zeros, params)
+        elif self.cfg.opt in ("sgd", "momentum", "nesterov"):
+            state["mu"] = jax.tree_util.tree_map(zeros, params)
+        else:
+            raise ValueError(f"Unknown optimizer {self.cfg.opt}")
+        return state
+
+    def update(self, grads, state, params, lr, wd_scale=1.0):
+        """Returns (new_params, new_state, grad_norm).
+
+        Implements native_scaler semantics: clip_grad rescales gradients to
+        the clip norm; skip_grad zeroes the update (but still advances
+        count, matching the reference's scaler.update()) when the norm
+        explodes.
+        """
+        cfg = self.cfg
+        meta = self.meta(params)
+        gnorm = global_norm(grads)
+
+        if cfg.clip_grad is not None:
+            scale = jnp.minimum(1.0, cfg.clip_grad / (gnorm + 1e-6))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+        count = state["count"] + 1
+        new_state = {"count": count}
+
+        if cfg.opt in ("adamw", "adam"):
+            b1, b2 = cfg.betas
+            mu = jax.tree_util.tree_map(
+                lambda m, g: b1 * m + (1 - b1) * g, state["mu"], grads)
+            nu = jax.tree_util.tree_map(
+                lambda n, g: b2 * n + (1 - b2) * jnp.square(g), state["nu"], grads)
+            new_state["mu"], new_state["nu"] = mu, nu
+            c1 = 1 - b1 ** count.astype(jnp.float32)
+            c2 = 1 - b2 ** count.astype(jnp.float32)
+
+            def upd(m, n, p, wd, scale):
+                adam = (m / c1) / (jnp.sqrt(n / c2) + cfg.eps)
+                step = adam
+                if cfg.opt == "adamw":
+                    step = step + (wd * wd_scale) * p
+                else:
+                    pass  # plain adam: wd handled as L2 in grads upstream (unused)
+                return -lr * scale * step
+
+            updates = jax.tree_util.tree_map(
+                upd, mu, nu, params, meta["wd"], meta["lr_scale"])
+        else:  # sgd family (torch semantics: d = g + wd*p; buf = mom*buf + d)
+            nesterov = cfg.opt in ("sgd", "nesterov")  # 'sgd' == nesterov in ref
+            momentum = cfg.momentum
+            d = jax.tree_util.tree_map(
+                lambda g, p, wd: g + (wd * wd_scale) * p,
+                grads, params, meta["wd"])
+            mu = jax.tree_util.tree_map(
+                lambda m, dd: momentum * m + dd, state["mu"], d)
+            new_state["mu"] = mu
+
+            def upd(m, dd, scale):
+                v = dd + momentum * m if nesterov else m
+                return -lr * scale * v
+
+            updates = jax.tree_util.tree_map(upd, mu, d, meta["lr_scale"])
+
+        if cfg.skip_grad is not None:
+            keep = (gnorm < cfg.skip_grad).astype(jnp.float32)
+            updates = jax.tree_util.tree_map(lambda u: u * keep, updates)
+
+        updates = jax.tree_util.tree_map(
+            lambda u, t: u if t else jnp.zeros_like(u),
+            updates, meta["trainable"])
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return new_params, new_state, gnorm
+
+    def count_trainable(self, params):
+        meta = self.meta(params)["trainable"]
+        total = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params))
+        train = sum(
+            int(np.prod(l.shape))
+            for l, t in zip(jax.tree_util.tree_leaves(params),
+                            jax.tree_util.tree_leaves(meta))
+            if t)
+        return train, total
+
+
+def create_optimizer(cfg: OptimizerConfig) -> GroupedOptimizer:
+    return GroupedOptimizer(cfg)
