@@ -48,20 +48,19 @@ def main():
     def fwd(params, x, masks):
         preds, _ = model(params, x, mask_inputs=False, task_masks=masks,
                          num_visible=256, deterministic=True)
-        return preds
+        # scalar checksum: forces full execution while keeping the host
+        # transfer negligible (block_until_ready is a no-op on the tunneled
+        # axon platform — only host reads synchronize)
+        return sum(jnp.sum(p.astype(jnp.float32)) for p in preds.values())
 
-    # Warmup/compile
-    out = fwd(params, x, masks)
-    jax.block_until_ready(out)
+    # Warmup/compile (host read = real sync)
+    float(fwd(params, x, masks))
 
-    # Synchronize every iteration: the tunneled device queue completes
-    # out-of-order, so blocking only on the last future under-measures.
     iters = 20
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fwd(params, x, masks)
-        jax.block_until_ready(out)
+        float(fwd(params, x, masks))
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     img_per_sec = batch / dt
