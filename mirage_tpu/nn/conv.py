@@ -1,0 +1,119 @@
+"""Convolution primitives with torch-compatible semantics.
+
+Weights are stored in torch layout — Conv2d: (O, I/groups, kH, kW),
+ConvTranspose2d: (I, O/groups, kH, kW) — so checkpoint interop is a direct
+array copy (no reshapes to audit). XLA's layout assignment re-tiles these for
+the MXU at compile time; on TPU a conv lowers to the same systolic-array
+matmuls regardless of the logical layout we pick here.
+
+Capability parity: the conv stacks used by the downstream heads —
+ConvNeXt blocks (reference mirage/output_adapter_utils.py:8-46), DPT
+reassemble/fusion convs (output_adapter_utils.py:49-225,
+output_adapters.py:672-726) and 1x1 head convs.
+"""
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from mirage_tpu.nn import init as vinit
+
+
+def _pair(v):
+    return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
+
+
+def conv2d_init(key, in_channels, out_channels, kernel_size, *, groups=1,
+                bias=True, dtype=jnp.float32):
+    """torch Conv2d default init: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in))
+    for the weight, U(±1/sqrt(fan_in)) for the bias."""
+    kh, kw = _pair(kernel_size)
+    fan_in = (in_channels // groups) * kh * kw
+    bound = 1.0 / (fan_in ** 0.5)
+    k_w, k_b = jax.random.split(key)
+    p = {"w": jax.random.uniform(
+        k_w, (out_channels, in_channels // groups, kh, kw), dtype, -bound, bound)}
+    if bias:
+        p["b"] = jax.random.uniform(k_b, (out_channels,), dtype, -bound, bound)
+    return p
+
+
+def conv2d(p, x, *, stride=1, padding=0, groups=1, dilation=1):
+    """x: (B, C, H, W); weight (O, I/groups, kH, kW) torch layout."""
+    s = _pair(stride)
+    d = _pair(dilation)
+    pad = _pair(padding)
+    w = p["w"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=s, padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+        rhs_dilation=d, feature_group_count=groups,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype).reshape(1, -1, 1, 1)
+    return y
+
+
+def conv_transpose2d_init(key, in_channels, out_channels, kernel_size, *,
+                          bias=True, dtype=jnp.float32):
+    kh, kw = _pair(kernel_size)
+    # torch ConvTranspose2d fan_in is computed on the (I, O, kH, kW) weight's
+    # dim-1 product: O*kH*kW
+    fan_in = out_channels * kh * kw
+    bound = 1.0 / (fan_in ** 0.5)
+    k_w, k_b = jax.random.split(key)
+    p = {"w": jax.random.uniform(
+        k_w, (in_channels, out_channels, kh, kw), dtype, -bound, bound)}
+    if bias:
+        p["b"] = jax.random.uniform(k_b, (out_channels,), dtype, -bound, bound)
+    return p
+
+
+def conv_transpose2d(p, x, *, stride=1, padding=0):
+    """torch ConvTranspose2d (output_padding=0, groups=1): fractionally-strided
+    conv — lhs_dilation=stride, spatially-flipped kernel, pad k-1-p."""
+    s = _pair(stride)
+    pad = _pair(padding)
+    w = p["w"]  # (I, O, kH, kW)
+    kh, kw = w.shape[-2], w.shape[-1]
+    w_f = jnp.flip(w, axis=(-2, -1)).transpose(1, 0, 2, 3).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w_f, window_strides=(1, 1),
+        padding=[(kh - 1 - pad[0], kh - 1 - pad[0]),
+                 (kw - 1 - pad[1], kw - 1 - pad[1])],
+        lhs_dilation=s, dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype).reshape(1, -1, 1, 1)
+    return y
+
+
+def batch_norm2d_init(num_features, dtype=jnp.float32):
+    return {
+        "scale": jnp.ones((num_features,), dtype),
+        "bias": jnp.zeros((num_features,), dtype),
+        "mean": jnp.zeros((num_features,), jnp.float32),
+        "var": jnp.ones((num_features,), jnp.float32),
+    }
+
+
+def batch_norm2d(p, x, *, training=False, eps=1e-5, momentum=0.1):
+    """Returns (y, new_stats). In training mode normalizes with batch stats and
+    returns EMA-updated running stats (the caller threads them); in eval mode
+    uses the stored running stats and returns them unchanged."""
+    x32 = x.astype(jnp.float32)
+    if training:
+        mean = jnp.mean(x32, axis=(0, 2, 3))
+        var = jnp.var(x32, axis=(0, 2, 3))
+        n = x.shape[0] * x.shape[2] * x.shape[3]
+        unbiased = var * n / max(n - 1, 1)
+        new_stats = {
+            "mean": (1 - momentum) * p["mean"] + momentum * mean,
+            "var": (1 - momentum) * p["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = p["mean"], p["var"]
+        new_stats = {"mean": p["mean"], "var": p["var"]}
+    y = (x32 - mean.reshape(1, -1, 1, 1)) * jax.lax.rsqrt(var.reshape(1, -1, 1, 1) + eps)
+    y = y * p["scale"].astype(jnp.float32).reshape(1, -1, 1, 1) \
+        + p["bias"].astype(jnp.float32).reshape(1, -1, 1, 1)
+    return y.astype(x.dtype), new_stats
