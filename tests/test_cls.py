@@ -1,0 +1,98 @@
+"""Parity: classification heads (3 pooling modes) vs the reference, through
+the full checkpoint round-trip (.pth wrapper load + cls-checkpoint load)."""
+
+import os
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from conftest import requires_reference
+
+torch = pytest.importorskip("torch")
+
+
+def _stub_reference_deps():
+    """mirage_wrapper imports skimage/torchvision for its CLI path only;
+    neither is needed for the cls heads. Stub them if absent."""
+    import sys
+    import types
+
+    if "skimage" not in sys.modules:
+        try:
+            import skimage  # noqa: F401
+        except ImportError:
+            skimage = types.ModuleType("skimage")
+            skimage.io = types.ModuleType("skimage.io")
+            skimage.transform = types.ModuleType("skimage.transform")
+            skimage.transform.resize = lambda *a, **k: None
+            sys.modules["skimage"] = skimage
+            sys.modules["skimage.io"] = skimage.io
+            sys.modules["skimage.transform"] = skimage.transform
+    if "torchvision" not in sys.modules:
+        try:
+            import torchvision  # noqa: F401
+        except ImportError:
+            tv = types.ModuleType("torchvision")
+            tv.utils = types.ModuleType("torchvision.utils")
+            tv.utils.save_image = lambda *a, **k: None
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.utils"] = tv.utils
+
+
+def make_pretrain_ckpt(tmp_path, reference_path):
+    """Synthetic reference-format pretraining checkpoint (bscan only)."""
+    from functools import partial
+
+    from mirage.input_adapters import PatchedInputAdapter
+    from mirage.output_adapters import SpatialOutputAdapter
+    from mirage.model import MIRAGEModel
+
+    args = SimpleNamespace(
+        model="miragepre_base", num_global_tokens=1, drop_path=0.0,
+        grid_sizes=None,
+        in_domains=["bscan"], out_domains=["bscan"],
+        decoder_dim=64, decoder_depth=1, decoder_num_heads=4,
+        decoder_use_task_queries=True, decoder_use_xattn=True,
+        input_size={"bscan": (256, 256)}, patch_size={"bscan": (32, 32)},
+    )
+    input_adapters = {"bscan": PatchedInputAdapter(
+        num_channels=1, stride_level=1, patch_size_full=(32, 32), image_size=256)}
+    output_adapters = {"bscan": SpatialOutputAdapter(
+        num_channels=1, stride_level=1, patch_size_full=(32, 32), dim_tokens=64,
+        depth=1, num_heads=4, use_task_queries=True, task="bscan",
+        context_tasks=["bscan"], use_xattn=True, image_size=(256, 256))}
+    torch.manual_seed(0)
+    model = MIRAGEModel(args, input_adapters, output_adapters)
+    path = os.path.join(tmp_path, "ckpt.pth")
+    torch.save({"model": model.state_dict(), "args": args}, path)
+    return path
+
+
+@requires_reference
+@pytest.mark.parametrize("pool", ["global", "cls", "token_mix"])
+def test_cls_head_parity(reference_path, tmp_path, rng, pool):
+    _stub_reference_deps()
+    from mirage_wrapper import miragecls_factory as ref_factory
+    from mirage_tpu.api.cls import miragecls_factory
+
+    ckpt = make_pretrain_ckpt(str(tmp_path), reference_path)
+
+    torch.manual_seed(1)
+    ref = ref_factory[pool](num_classes=4, input_size=256, patch_size=32,
+                            modalities="bscan", weights=ckpt, device="cpu").eval()
+
+    # Round-trip the full cls state (model.* norm.* head.*) through our loader
+    cls_path = os.path.join(str(tmp_path), "cls.pth")
+    torch.save({"model": ref.state_dict()}, cls_path)
+
+    ours = miragecls_factory[pool](num_classes=4, input_size=256, patch_size=32,
+                                   modalities="bscan", weights=ckpt)
+    ours.load_cls_checkpoint(cls_path)
+
+    x = rng.random((2, 1, 256, 256), np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(ours(x))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
+    assert got.shape == (2, 4)
