@@ -249,6 +249,52 @@ def params_to_torch(params: Mapping[str, Any], model) -> Dict[str, np.ndarray]:
     return sd
 
 
+def interpolate_pos_embed_sd(sd: Dict[str, np.ndarray], model) -> Dict[str, np.ndarray]:
+    """Bicubic-resize ``input_adapters.*.pos_emb`` entries to the model's
+    posemb grids (mutils/pos_embed.py:7-23; enables 512-pretrain ->
+    1024-finetune). Exact torch F.interpolate(bicubic, align_corners=False)
+    semantics via the nn/resize matrices."""
+    from mirage_tpu.nn.resize import _resize_matrix
+
+    out = dict(sd)
+    pattern = re.compile(r"input_adapters\.(.*)\.pos_emb$")
+    for key in list(out.keys()):
+        m = pattern.match(key)
+        if not m:
+            continue
+        domain = m.group(1)
+        adapter = model.input_adapters.get(domain)
+        if adapter is None:
+            continue
+        new_h, new_w = adapter.posemb_grid
+        arr = np.asarray(out[key], dtype=np.float32)
+        orig_h, orig_w = arr.shape[-2], arr.shape[-1]
+        if (orig_h, orig_w) == (new_h, new_w):
+            continue
+        wh = _resize_matrix(orig_h, new_h, "bicubic", False)
+        ww = _resize_matrix(orig_w, new_w, "bicubic", False)
+        arr = np.einsum("oh,bdhw->bdow", wh, arr)
+        arr = np.einsum("pw,bdhw->bdhp", ww, arr)
+        out[key] = arr
+    return out
+
+
+def seg_checkpoint_surgery(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Pretrain-checkpoint -> seg-tuning surgery (fm_seg_config.py:87-104):
+    rename bscanlayermap->semseg, pad the semseg class embedding by one row
+    (the downstream padding index), drop output adapters."""
+    out = {}
+    for k, v in sd.items():
+        if "output_adapters" in k:
+            continue
+        out[k.replace("bscanlayermap", "semseg")] = v
+    key = "input_adapters.semseg.class_emb.weight"
+    if key in out:
+        emb = np.asarray(out[key])
+        out[key] = np.concatenate([emb, np.zeros((1, emb.shape[1]), emb.dtype)], axis=0)
+    return out
+
+
 def rename_keys(sd: Mapping[str, np.ndarray], mapping: Mapping[str, str]):
     """Bulk key rename (e.g. 'bscanlayermap' -> 'semseg', fm_seg_config.py:90-94,
     or MAE 'blocks.' -> 'encoder.', run_pretraining.py:432-436)."""

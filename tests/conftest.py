@@ -32,12 +32,40 @@ requires_reference = pytest.mark.skipif(
     not has_reference(), reason="PyTorch reference repo not mounted")
 
 
+def stub_reference_deps():
+    """The reference imports skimage/torchvision/timm for CLI/baseline paths
+    that the parity tests never touch; stub whichever are absent."""
+    import sys
+    import types
+
+    def _ensure(name, attrs):
+        try:
+            __import__(name)
+        except ImportError:
+            parts = name.split(".")
+            for i in range(1, len(parts) + 1):
+                mod_name = ".".join(parts[:i])
+                if mod_name not in sys.modules:
+                    mod = types.ModuleType(mod_name)
+                    sys.modules[mod_name] = mod
+                    if i > 1:
+                        setattr(sys.modules[".".join(parts[:i - 1])], parts[i - 1], mod)
+            for attr, val in attrs.items():
+                setattr(sys.modules[name], attr, val)
+
+    _ensure("skimage.io", {"imread": lambda *a, **k: None,
+                           "imsave": lambda *a, **k: None})
+    _ensure("skimage.transform", {"resize": lambda *a, **k: None})
+    _ensure("torchvision.utils", {"save_image": lambda *a, **k: None})
+
+
 @pytest.fixture(scope="session")
 def reference_path():
     import sys
 
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
+    stub_reference_deps()
     return REFERENCE_PATH
 
 

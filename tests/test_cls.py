@@ -11,33 +11,7 @@ from conftest import requires_reference
 
 torch = pytest.importorskip("torch")
 
-
-def _stub_reference_deps():
-    """mirage_wrapper imports skimage/torchvision for its CLI path only;
-    neither is needed for the cls heads. Stub them if absent."""
-    import sys
-    import types
-
-    if "skimage" not in sys.modules:
-        try:
-            import skimage  # noqa: F401
-        except ImportError:
-            skimage = types.ModuleType("skimage")
-            skimage.io = types.ModuleType("skimage.io")
-            skimage.transform = types.ModuleType("skimage.transform")
-            skimage.transform.resize = lambda *a, **k: None
-            sys.modules["skimage"] = skimage
-            sys.modules["skimage.io"] = skimage.io
-            sys.modules["skimage.transform"] = skimage.transform
-    if "torchvision" not in sys.modules:
-        try:
-            import torchvision  # noqa: F401
-        except ImportError:
-            tv = types.ModuleType("torchvision")
-            tv.utils = types.ModuleType("torchvision.utils")
-            tv.utils.save_image = lambda *a, **k: None
-            sys.modules["torchvision"] = tv
-            sys.modules["torchvision.utils"] = tv.utils
+from conftest import stub_reference_deps as _stub_reference_deps  # noqa: E402
 
 
 def make_pretrain_ckpt(tmp_path, reference_path):
