@@ -174,6 +174,42 @@ def torch_to_params(sd: Mapping[str, np.ndarray], model) -> Dict[str, Any]:
     return params
 
 
+def overlay_torch_params(init_params: Dict[str, Any], sd: Mapping[str, np.ndarray],
+                         model) -> Dict[str, Any]:
+    """strict=False loading: convert whatever keys exist in `sd` and overlay
+    them onto freshly-initialized params (warm starts from MultiMAE-B / MAE-L
+    checkpoints that lack our adapters, run_pretraining.py:429-446)."""
+    import jax
+
+    params = jax.tree_util.tree_map(lambda x: x, init_params)  # fresh containers
+
+    blocks = []
+    try:
+        for i in range(model.depth):
+            blocks.append(_encoder_block(sd, f"encoder.{i}"))
+        params["encoder"] = _stack(blocks)
+    except KeyError:
+        pass
+
+    if "global_tokens" in sd:
+        params["global_tokens"] = _a(sd["global_tokens"])
+
+    for task, adapter in model.input_adapters.items():
+        pre = f"input_adapters.{task}"
+        try:
+            p: Dict[str, Any] = {"pos_emb": _a(sd[f"{pre}.pos_emb"])}
+            if isinstance(adapter, SemSegInputAdapter):
+                p["class_emb"] = _a(sd[f"{pre}.class_emb.weight"])
+                proj_key = f"{pre}.proj.1" if adapter.interpolate_class_emb else f"{pre}.proj"
+                p["proj"] = _conv_as_linear(sd, proj_key)
+            else:
+                p["proj"] = _conv_as_linear(sd, f"{pre}.proj")
+            params["input_adapters"][task] = p
+        except KeyError:
+            continue
+    return params
+
+
 def params_to_torch(params: Mapping[str, Any], model) -> Dict[str, np.ndarray]:
     """Inverse mapping, for exporting checkpoints loadable by the reference."""
     sd: Dict[str, np.ndarray] = {}

@@ -1,0 +1,76 @@
+"""Config/flag system: argparse with YAML-file default override.
+
+Parity: run_pretraining.py:59-66/:306-315 — a small pre-parser reads
+``-c/--config``, ``yaml.safe_load`` feeds ``parser.set_defaults``, then the
+full parse runs; int sizes normalize to per-domain dicts
+(run_pretraining.py:328-339).
+"""
+
+import argparse
+import hashlib
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+
+def apply_platform_env():
+    """Honor JAX_PLATFORMS even when the site patches jax's default platform
+    list (this image defaults to 'axon,cpu' regardless of the env var)."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
+def parse_with_yaml(parser: argparse.ArgumentParser, argv=None) -> argparse.Namespace:
+    """-c/--config YAML sets defaults; explicit CLI flags override."""
+    import yaml
+
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("-c", "--config", default="", type=str)
+    cfg_args, remaining = pre.parse_known_args(argv)
+    if cfg_args.config:
+        with open(cfg_args.config) as f:
+            cfg = yaml.safe_load(f) or {}
+        known = {a.dest for a in parser._actions}
+        unknown = set(cfg) - known
+        if unknown:
+            raise ValueError(f"Unknown config keys in {cfg_args.config}: {sorted(unknown)}")
+        parser.set_defaults(**cfg)
+    args = parser.parse_args(remaining)
+    args.config = cfg_args.config
+    return args
+
+
+def normalize_domain_sizes(args, domains, *, size_attrs=("input_size", "patch_size")):
+    """int or {domain: (h, w)} -> {domain: (h, w)} for every domain; computes
+    grid_size per domain."""
+    for attr in size_attrs:
+        v = getattr(args, attr)
+        if isinstance(v, int):
+            v = {d: (v, v) for d in domains}
+        else:
+            v = {d: tuple(v[d]) for d in v}
+        setattr(args, attr, v)
+    args.grid_size = {}
+    for d in domains:
+        if d in args.input_size and d in args.patch_size:
+            args.grid_size[d] = tuple(
+                args.input_size[d][i] // args.patch_size[d][i] for i in range(2))
+    return args
+
+
+def args_hash(args, exclude=("config", "output_dir", "device", "resume")) -> str:
+    """md5 of the arg namespace for unique output dirs (run_cls_tuning.py:324-327)."""
+    d = {k: v for k, v in sorted(vars(args).items()) if k not in exclude}
+    return hashlib.md5(json.dumps(d, sort_keys=True, default=str).encode()).hexdigest()[:12]
+
+
+def save_args(output_dir: str, args, name: str = "config.json"):
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, name), "w") as f:
+        json.dump({k: v for k, v in vars(args).items()}, f, indent=2, default=str)

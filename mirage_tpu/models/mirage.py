@@ -280,6 +280,14 @@ def miragepre_large(input_adapters, output_adapters, **kwargs):
                        qkv_bias=True, **kwargs)
 
 
+@add_model
+def miragepre_tiny(input_adapters, output_adapters, **kwargs):
+    """Small preset for smoke tests / CI (not a reference size)."""
+    return MIRAGEModel(input_adapters=input_adapters, output_adapters=output_adapters,
+                       dim_tokens=192, depth=3, num_heads=4, mlp_ratio=4,
+                       qkv_bias=True, **kwargs)
+
+
 # The "light" variants share the class; the light forward is forward_light.
 @add_model
 def miragelight_base(input_adapters, output_adapters, **kwargs):
