@@ -1,0 +1,125 @@
+"""Foundation-model config registries for downstream tuning.
+
+Parity: fm_seg_config.py (seg registry keyed by weight-filename substring,
+checkpoint surgery + domain conf with 1-vs-3-channel switch by norm type) and
+fm_cls_config.py (cls registry building miragecls heads with transform
+stacks and linear-probe/full-FT lr defaults).
+"""
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+from mirage_tpu.utils.factory import get_factory_adder
+
+add_seg_fm, seg_fm_factory = get_factory_adder()
+add_cls_fm, cls_fm_factory = get_factory_adder()
+
+
+def pick_fm(factory: Dict[str, type], weights_path: str):
+    """Registry lookup by substring of the weights filename
+    (run_seg_tuning.py:389-395)."""
+    for kw, cls in factory.items():
+        if kw in str(weights_path).lower():
+            return cls()
+    raise ValueError(f"Unknown model for weights: {weights_path} "
+                     f"(known: {list(factory)})")
+
+
+# ---------------------------------------------------------------------------
+# Segmentation
+# ---------------------------------------------------------------------------
+
+class SegFoundModel:
+    """norm: input normalization mode; model: model_factory key. Builds the
+    per-domain input-adapter configuration and loads/surgeries checkpoints."""
+
+    norm = "minmax"
+    model = "miragelight_base"
+
+    def domain_conf(self):
+        channels = 1 if self.norm == "minmax" else 3
+        return {
+            "bscan": {"channels": channels, "stride_level": 1, "semseg": False},
+            "slo": {"channels": channels, "stride_level": 1, "semseg": False},
+            "semseg": {"num_classes": 4, "stride_level": 4, "semseg": True,
+                       "dim_class_emb": 64, "emb_padding_idx": 4},
+        }
+
+    def load(self, init_params, model, weights_path: str):
+        """Checkpoint surgery + strict=False load (fm_seg_config.py:54-64):
+        rename bscanlayermap->semseg, pad class emb, drop output adapters,
+        interpolate pos embs to the tuning grid, overlay."""
+        from mirage_tpu.api import convert
+
+        if str(weights_path).endswith(".pth"):
+            sd = convert.load_torch_checkpoint(weights_path)["model"]
+        else:
+            sd = convert.load_safetensors(str(weights_path))
+        sd = convert.seg_checkpoint_surgery(sd)
+        sd = convert.interpolate_pos_embed_sd(sd, model)
+        return convert.overlay_torch_params(init_params, sd, model)
+
+
+@add_seg_fm("mirage-large")
+class MIRAGELargeSegFM(SegFoundModel):
+    model = "miragelight_large"
+
+
+@add_seg_fm("mirage-base")
+class MIRAGEBaseSegFM(SegFoundModel):
+    model = "miragelight_base"
+
+
+# ---------------------------------------------------------------------------
+# Classification
+# ---------------------------------------------------------------------------
+
+class ClsFoundModel:
+    """Builds a MIRAGECls head + the transform stack (fm_cls_config.py:27-164).
+    linear_probing: lr 1e-3, freeze all but head; full FT: lr 1e-5."""
+
+    norm = "minmax"
+    size_kw = "base"
+
+    def __init__(self, linear_probing: bool = True):
+        self.linear_probing = linear_probing
+        self.lr = 1e-3 if linear_probing else 1e-5
+        self.weight_decay = 1e-2
+
+    def build_model(self, *, num_classes: int, pool: str, weights: str,
+                    input_size: int = 512, patch_size: int = 32,
+                    compute_dtype=None, attn_impl: str = "auto"):
+        import jax.numpy as jnp
+
+        from mirage_tpu.api.cls import miragecls_factory
+
+        return miragecls_factory[pool](
+            num_classes=num_classes, input_size=input_size,
+            patch_size=patch_size, modalities="bscan", weights=weights,
+            compute_dtype=compute_dtype or jnp.float32, attn_impl=attn_impl)
+
+    def build_transform(self, train: bool, input_size: int = 512,
+                        fill: Optional[float] = 0.0):
+        from mirage_tpu.data.augment import ClsTransform
+
+        return ClsTransform(input_size=input_size, train=train, norm=self.norm,
+                            fill=fill)
+
+    def trainable_filter(self):
+        """Paths that stay trainable under linear probing
+        (fm_cls_config.py:111-124: all but 'head.' frozen)."""
+        if self.linear_probing:
+            return lambda path_names: bool(path_names) and path_names[0] == "head"
+        return lambda path_names: True
+
+
+@add_cls_fm("mirage-large")
+class MIRAGELargeClsFM(ClsFoundModel):
+    size_kw = "large"
+
+
+@add_cls_fm("mirage-base")
+class MIRAGEBaseClsFM(ClsFoundModel):
+    size_kw = "base"

@@ -255,12 +255,13 @@ class MIRAGEModel:
         if self.output_adapters is None:
             return encoder_tokens
 
-        preds = {
-            domain: adapter(
+        preds = {}
+        for j, (domain, adapter) in enumerate(self.output_adapters.items()):
+            r = jax.random.fold_in(rng, 1000 + j) \
+                if (rng is not None and not deterministic) else None
+            preds[domain] = adapter(
                 params["output_adapters"][domain], encoder_tokens, input_info,
-                deterministic=deterministic)
-            for domain, adapter in self.output_adapters.items()
-        }
+                deterministic=deterministic, rng=r)
         return preds
 
 

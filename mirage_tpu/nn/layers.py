@@ -93,7 +93,7 @@ def dropout(x, rate: float, *, deterministic: bool = True, rng: Optional[jax.Arr
 def drop_path(x, rate, *, deterministic: bool = True, rng: Optional[jax.Array] = None):
     """Per-sample stochastic depth. `rate` may be a traced scalar (so the
     encoder scan can carry per-layer rates)."""
-    if deterministic:
+    if deterministic or (isinstance(rate, (int, float)) and rate == 0.0) or rng is None:
         return x
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
