@@ -121,6 +121,8 @@ class MIRAGEWrapper:
             dim, depth, heads = 1024, 24, 16
         elif "base" in model_name:
             dim, depth, heads = 768, 12, 12
+        elif "tiny" in model_name:  # dev/smoke-test size (ours, not reference)
+            dim, depth, heads = 192, 3, 4
         else:
             raise ValueError(f"Unknown model size: {model_name}")
 

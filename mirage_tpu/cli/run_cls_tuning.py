@@ -1,0 +1,280 @@
+"""Classification tuning workload.
+
+Parity: run_cls_tuning.py — linear-probe (lr 1e-3, all but head frozen) or
+full fine-tune (lr 1e-5), AdamW wd 1e-2, per-iteration half-cycle cosine LR,
+label-smoothing CE (0.1), dual-metric early stopping (BAcc then loss,
+patience 20 from epoch 20), best model kept in memory and written once,
+BAcc/AUROC/AP/F1/MCC -> CSVs, predictions.npz export, auto num_classes and
+batch size from the dataset folder.
+
+Usage:
+  python -m mirage_tpu.cli.run_cls_tuning --data_root /data/Classification \
+      --data_set OCTID --weights MIRAGE-Base.pth --linear_probing
+"""
+
+import argparse
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+from mirage_tpu.cli.config import apply_platform_env, parse_with_yaml, save_args
+
+apply_platform_env()
+
+
+def get_parser():
+    p = argparse.ArgumentParser("MIRAGE classification tuning (TPU)", add_help=True)
+    p.add_argument("--batch_size", default=None, type=int)
+    p.add_argument("--epochs", default=200, type=int)
+    p.add_argument("--data_root", required=True, type=str)
+    p.add_argument("--data_set", required=True, type=str)
+    p.add_argument("--weights", required=True, type=str)
+    p.add_argument("--pool", default="global", choices=["global", "cls", "token_mix"])
+    p.add_argument("--linear_probing", default=False, action="store_true")
+    p.add_argument("--input_size", default=512, type=int)
+    p.add_argument("--patch_size", default=32, type=int)
+    p.add_argument("--smoothing", default=0.1, type=float)
+    p.add_argument("--warmup_epochs", default=5, type=int)
+    p.add_argument("--min_lr", default=1e-6, type=float)
+    p.add_argument("--lr", default=None, type=float)
+    p.add_argument("--weight_decay", default=1e-2, type=float)
+    p.add_argument("--val_metric", default="bacc", type=str)
+    p.add_argument("--val_metric_two", default="loss", type=str)
+    p.add_argument("--early_stopping_epochs", default=20, type=int)
+    p.add_argument("--early_stopping_delta", default=0.0, type=float)
+    p.add_argument("--early_stopping_delta_two", default=0.0, type=float)
+    p.add_argument("--early_start_from", default=20, type=int)
+    p.add_argument("--fill", default=0.0, type=float)
+    p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--output_dir", default="./output/cls", type=str)
+    p.add_argument("--version", default="v1", type=str)
+    p.add_argument("--eval", default=False, action="store_true")
+    p.add_argument("--save_predictions", default=False, action="store_true")
+    p.add_argument("--max_steps_per_epoch", default=None, type=int)
+    p.add_argument("--model_override", default=None, type=str)
+    return p
+
+
+def process_args(args):
+    args.data_path = os.path.join(args.data_root, args.data_set)
+    train_dir = Path(args.data_path) / "train"
+    classes = [d for d in train_dir.iterdir() if d.is_dir()]
+    args.num_classes = len(classes)
+    num_samples = sum(len(list(d.iterdir())) for d in classes)
+    if args.batch_size is None:
+        # closest power of 2 to a quarter of the dataset, capped at 64
+        args.batch_size = min(64, 2 ** (max(int(round(num_samples * 0.25)), 1)
+                                        .bit_length() - 1))
+        args.batch_size = max(args.batch_size, 1)
+    print(f"Classes: {args.num_classes}, samples: {num_samples}, "
+          f"batch: {args.batch_size}")
+    return args
+
+
+def main(argv=None):
+    args = process_args(parse_with_yaml(get_parser(), argv))
+
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from mirage_tpu.api.fm_configs import cls_fm_factory, pick_fm
+    from mirage_tpu.data import DataLoader
+    from mirage_tpu.data.folder import ImageFolder
+    from mirage_tpu.losses.gdice import cross_entropy_loss
+    from mirage_tpu.metrics import compute_cls_metrics
+    from mirage_tpu.train import checkpoint as ckpt
+    from mirage_tpu.train.early_stop import EarlyStopping
+    from mirage_tpu.train.logger import MetricLogger, append_log
+    from mirage_tpu.train.optim import OptimizerConfig, create_optimizer
+    from mirage_tpu.train.schedules import adjust_learning_rate
+    from mirage_tpu.train.steps import init_train_state
+
+    fm = pick_fm(cls_fm_factory, args.weights)
+    fm.linear_probing = args.linear_probing
+    fm.__init__(linear_probing=args.linear_probing)
+    if args.lr is None:
+        args.lr = fm.lr
+    print(f">> {'Linear probing' if args.linear_probing else 'Full finetune'}"
+          f" lr={args.lr}")
+
+    model_name = type(fm).__name__
+    args.output_dir = os.path.join(
+        args.output_dir, args.version, str(args.seed), args.data_set,
+        model_name + ("_linear" if args.linear_probing else "_finetune") + "_w")
+    os.makedirs(args.output_dir, exist_ok=True)
+    save_args(args.output_dir, args)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    cls = fm.build_model(num_classes=args.num_classes, pool=args.pool,
+                         weights=args.weights, input_size=args.input_size,
+                         patch_size=args.patch_size, compute_dtype=dtype)
+
+    datasets = {}
+    loaders = {}
+    for subset in ["train", "val", "test"]:
+        path = Path(args.data_path) / subset
+        if not path.exists():
+            continue
+        tf = fm.build_transform(train=(subset == "train"),
+                                input_size=args.input_size, fill=args.fill)
+        datasets[subset] = ImageFolder(str(path), transform=tf)
+        loaders[subset] = DataLoader(
+            datasets[subset], args.batch_size, shuffle=(subset == "train"),
+            drop_last=False, num_workers=args.num_workers, seed=args.seed)
+        print(f"{subset}: {len(datasets[subset])} samples")
+
+    opt = create_optimizer(OptimizerConfig(
+        opt="adamw", betas=(0.9, 0.999), eps=1e-8,
+        weight_decay=args.weight_decay,
+        frozen_paths=("model", "norm") if args.linear_probing else ()))
+
+    def loss_fn(params, images, targets, rng):
+        logits = cls.apply(params, images, deterministic=False, rng=rng)
+        loss = cross_entropy_loss(logits[..., None, None],
+                                  targets[..., None, None],
+                                  label_smoothing=args.smoothing)
+        return loss, logits
+
+    @jax.jit
+    def train_step(state, images, targets, rng, lr):
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], images, targets, rng)
+        params, opt_state, gnorm = opt.update(grads, state["opt"],
+                                              state["params"], lr)
+        state = {"params": params, "opt": opt_state, "step": state["step"] + 1}
+        return state, loss, logits, gnorm
+
+    @jax.jit
+    def eval_step(params, images):
+        logits = cls.apply(params, images)
+        return jax.nn.softmax(logits, axis=-1), logits
+
+    def evaluate(params, loader, epoch, mode="Valid", save_predictions=False):
+        probs_all, targets_all, losses = [], [], []
+        for images, targets, _sids in loader:
+            probs, logits = eval_step(params, jnp.asarray(images))
+            loss = float(cross_entropy_loss(
+                jnp.asarray(logits)[..., None, None],
+                jnp.asarray(targets)[..., None, None]))
+            losses.append(loss)
+            probs_all.append(np.asarray(probs))
+            targets_all.append(np.asarray(targets))
+        probs_all = np.concatenate(probs_all)
+        targets_all = np.concatenate(targets_all)
+        if save_predictions:
+            np.savez_compressed(
+                os.path.join(args.output_dir, "predictions.npz"),
+                true_label_decode_list=targets_all,
+                prediction_decode_list=probs_all.argmax(1),
+                true_label_onehot_list=np.eye(args.num_classes)[targets_all],
+                prediction_list=probs_all)
+            return None
+        m = compute_cls_metrics(targets_all, probs_all,
+                                loss=float(np.mean(losses)), epoch=epoch)
+        print(f"[{mode}] epoch {epoch} loss {m['loss']:.4f} bacc {m['bacc']:.4f}"
+              f" auroc {m['auroc']:.4f} f1 {m['f1']:.4f} mcc {m['mcc']:.4f}")
+        return m
+
+    state = init_train_state(cls.params, opt)
+
+    if args.eval or args.save_predictions:
+        state = ckpt.load_best_checkpoint(args.output_dir, state)
+        stats = evaluate(state["params"], loaders["test"], "Best", mode="Test",
+                         save_predictions=args.save_predictions)
+        if stats is not None:
+            pd.DataFrame([stats.values()], columns=list(stats.keys())).to_csv(
+                os.path.join(args.output_dir, "test_eval.csv"), index=False)
+        return stats
+
+    early = EarlyStopping(
+        patience=args.early_stopping_epochs, delta=args.early_stopping_delta,
+        delta_two=args.early_stopping_delta_two,
+        greater_is_better=args.val_metric != "loss",
+        greater_is_better_two=args.val_metric_two != "loss",
+        start_from=args.early_start_from)
+
+    steps_per_epoch = len(loaders["train"])
+    if args.max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
+    best_state = None
+    best_epoch = -1
+    train_rows, val_rows = [], []
+    t0 = time.time()
+    stop = False
+    for epoch in range(args.epochs):
+        loaders["train"].set_epoch(epoch)
+        logger = MetricLogger()
+        preds_ep, tgts_ep = [], []
+        for step, (images, targets, _sids) in enumerate(loaders["train"]):
+            if step >= steps_per_epoch:
+                break
+            lr = adjust_learning_rate(args.lr, args.min_lr,
+                                      epoch + step / steps_per_epoch,
+                                      args.epochs, args.warmup_epochs)
+            rng = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1),
+                                     epoch * steps_per_epoch + step)
+            state, loss, logits, gnorm = train_step(
+                state, jnp.asarray(images), jnp.asarray(targets), rng, lr)
+            loss = float(loss)
+            if not np.isfinite(loss):
+                print("Non-finite training loss; early stopping")
+                stop = True
+                break
+            logger.update(loss=loss, lr=lr, grad_norm=float(gnorm))
+            preds_ep.append(np.asarray(logits).argmax(1))
+            tgts_ep.append(np.asarray(targets))
+        if stop:
+            break
+        from sklearn.metrics import balanced_accuracy_score, f1_score
+
+        y, yh = np.concatenate(tgts_ep), np.concatenate(preds_ep)
+        train_rows.append([epoch, logger.meters["loss"].global_avg,
+                           balanced_accuracy_score(y, yh),
+                           f1_score(y, yh, average="weighted", zero_division=0.0)])
+        print(f"[Train] epoch {epoch} loss {train_rows[-1][1]:.4f} "
+              f"bacc {train_rows[-1][2]:.4f}")
+
+        stats = evaluate(state["params"], loaders["val"], epoch)
+        val_rows.append(list(stats.values()))
+        is_best = early(stats[args.val_metric], stats[args.val_metric_two], epoch)
+        if early.early_stop:
+            print(f"Early stopping @ epoch {epoch}")
+            break
+        if is_best:
+            best_state = jax.device_get(state)
+            best_epoch = epoch
+            print(f"New best model @ epoch {epoch} "
+                  f"({early.best_value:.4f}, {early.best_value_two:.4f})")
+        append_log(args.output_dir, {"epoch": epoch,
+                                     "train_loss": train_rows[-1][1],
+                                     **{f"val_{k}": v for k, v in stats.items()
+                                        if k not in ("epoch",)}})
+
+    if best_state is None:
+        best_state = jax.device_get(state)
+        best_epoch = args.epochs - 1
+    ckpt.save_checkpoint(args.output_dir, best_state, best_epoch, tag="best",
+                         args=vars(args))
+    print(f"Training time {time.time() - t0:.1f}s")
+
+    pd.DataFrame(train_rows, columns=["Epoch", "Loss", "BAcc", "F1-score"]).to_csv(
+        os.path.join(args.output_dir, "train_eval.csv"), index=False)
+    cols = ["Epoch", "Loss", "BAcc", "AUROC", "AP", "F1-score", "MCC"]
+    pd.DataFrame(val_rows, columns=cols).to_csv(
+        os.path.join(args.output_dir, "valid_eval.csv"), index=False)
+
+    if "test" in loaders:
+        stats = evaluate(best_state["params"], loaders["test"], "Best", mode="Test")
+        pd.DataFrame([list(stats.values())], columns=cols).to_csv(
+            os.path.join(args.output_dir, "test_eval.csv"), index=False)
+        return stats
+    return None
+
+
+if __name__ == "__main__":
+    main()
