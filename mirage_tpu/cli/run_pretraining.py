@@ -93,6 +93,8 @@ def get_parser():
     p.add_argument("--debug_images", default=True, type=bool)
     p.add_argument("--max_steps_per_epoch", default=None, type=int,
                    help="debug/smoke-run cap")
+    p.add_argument("--profile_dir", default=None, type=str,
+                   help="capture a jax.profiler trace of epoch 0 into this dir")
     return p
 
 
@@ -276,9 +278,16 @@ def main(argv=None):
     trainable, total = opt.count_trainable(state["params"])
     print(f"Params: {total / 1e6:.1f}M ({trainable / 1e6:.1f}M trainable)")
 
+    import contextlib
+
+    from mirage_tpu.utils.profiling import trace
+
     debug_fwd = None
     t_start = time.time()
     for epoch in range(start_epoch, args.epochs):
+        stack = contextlib.ExitStack()
+        if args.profile_dir and epoch == start_epoch:
+            stack.enter_context(trace(args.profile_dir))
         loader.set_epoch(epoch)
         logger = MetricLogger()
         it = epoch * steps_per_epoch
@@ -307,6 +316,7 @@ def main(argv=None):
                                          jax.random.PRNGKey(epoch))
                 save_debug_images(args.output_dir, epoch, batch, preds, masks, args)
             it += 1
+        stack.close()  # flush the profiler trace for the profiled epoch
 
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
             host_state = jax.device_get(state)
