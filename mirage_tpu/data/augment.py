@@ -35,11 +35,25 @@ from mirage_tpu.nn.resize import _resize_matrix
 
 def resize_np(img: np.ndarray, out_size: Tuple[int, int], mode: str = "bilinear",
               align_corners: bool = False) -> np.ndarray:
-    """Resize trailing two dims with torch F.interpolate semantics."""
+    """Resize trailing two dims with torch F.interpolate semantics.
+
+    Hot paths (bilinear f32, nearest int) go through the native C++ library
+    (native/fastops.cpp) when built; the numpy matrix path is the exact
+    reference and the fallback."""
     in_h, in_w = img.shape[-2], img.shape[-1]
     out_h, out_w = out_size
     if (in_h, in_w) == (out_h, out_w):
         return img
+    from mirage_tpu.utils import native as _native
+
+    if mode == "bilinear" and img.dtype == np.float32:
+        out = _native.resize_bilinear(img, out_size, align_corners)
+        if out is not None:
+            return out
+    elif mode == "nearest" and np.issubdtype(img.dtype, np.integer):
+        out = _native.resize_nearest(img, out_size)
+        if out is not None:
+            return out
     wh = _resize_matrix(in_h, out_h, mode, align_corners)
     ww = _resize_matrix(in_w, out_w, mode, align_corners)
     dtype = img.dtype
