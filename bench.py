@@ -3,7 +3,12 @@
 
 Headline workload: MIRAGE-Large inference on the mirage_wrapper.py path
 (bscan present at 512²/p32; slo + 13-class layermap reconstructed by the
-three SpatialOutputAdapter decoders), bf16 compute, batched.
+three SpatialOutputAdapter decoders), bf16 compute and bf16-resident params,
+batch 32 (measured optimum on v5e).
+
+Timing: dispatches are chained through a scalar accumulator and synced once
+at the end — block_until_ready is a no-op on the tunneled axon platform and
+per-step host reads would add tunnel round-trips to every step.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md). The
 comparison constant below is a first-principles estimate of the PyTorch
@@ -18,7 +23,10 @@ import time
 
 import numpy as np
 
+
 A100_EST_IMG_PER_SEC = 890.0
+BATCH = 32
+ITERS = 20
 
 
 def main():
@@ -30,40 +38,41 @@ def main():
     model = _build_mirage("large", img=512, layermap=128,
                           compute_dtype=jnp.bfloat16)
     params = model.init_params(jax.random.PRNGKey(0))
+    # bf16-resident weights: halves HBM weight traffic (inference needs no
+    # f32 master copy)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
 
-    batch = 32
     rng = np.random.default_rng(0)
     x = {
-        "bscan": jnp.asarray(rng.random((batch, 1, 512, 512)), jnp.float32),
-        "slo": jnp.zeros((batch, 1, 512, 512), jnp.float32),
-        "bscanlayermap": jnp.zeros((batch, 128, 128), jnp.int32),
+        "bscan": jnp.asarray(rng.random((BATCH, 1, 512, 512)), jnp.float32),
+        "slo": jnp.zeros((BATCH, 1, 512, 512), jnp.float32),
+        "bscanlayermap": jnp.zeros((BATCH, 128, 128), jnp.int32),
     }
     masks = {
-        "bscan": jnp.zeros((batch, 256), jnp.int32),
-        "slo": jnp.ones((batch, 256), jnp.int32),
-        "bscanlayermap": jnp.ones((batch, 256), jnp.int32),
+        "bscan": jnp.zeros((BATCH, 256), jnp.int32),
+        "slo": jnp.ones((BATCH, 256), jnp.int32),
+        "bscanlayermap": jnp.ones((BATCH, 256), jnp.int32),
     }
 
     @jax.jit
-    def fwd(params, x, masks):
+    def fwd(params, x, masks, acc):
         preds, _ = model(params, x, mask_inputs=False, task_masks=masks,
                          num_visible=256, deterministic=True)
-        # scalar checksum: forces full execution while keeping the host
-        # transfer negligible (block_until_ready is a no-op on the tunneled
-        # axon platform — only host reads synchronize)
-        return sum(jnp.sum(p.astype(jnp.float32)) for p in preds.values())
+        # scalar checksum chains the dispatches and forces full execution
+        return acc + sum(jnp.sum(p.astype(jnp.float32)) for p in preds.values())
 
-    # Warmup/compile (host read = real sync)
-    float(fwd(params, x, masks))
+    # Warmup/compile (host read = the only real sync on this platform)
+    float(fwd(params, x, masks, jnp.zeros(())))
 
-    iters = 20
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        float(fwd(params, x, masks))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    img_per_sec = batch / dt
+    t0 = time.perf_counter()
+    acc = jnp.zeros(())
+    for _ in range(ITERS):
+        acc = fwd(params, x, masks, acc)
+    float(acc)
+    dt = (time.perf_counter() - t0) / ITERS
+    img_per_sec = BATCH / dt
 
     print(json.dumps({
         "metric": "mirage_large_infer_images_per_sec_per_chip",
