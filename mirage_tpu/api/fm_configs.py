@@ -123,3 +123,64 @@ class MIRAGELargeClsFM(ClsFoundModel):
 @add_cls_fm("mirage-base")
 class MIRAGEBaseClsFM(ClsFoundModel):
     size_kw = "base"
+
+
+class _BaselineViTCls:
+    """Adapter giving the plain ViT baseline the same .params/.apply
+    interface run_cls_tuning drives (mutils/vit.py baselines)."""
+
+    def __init__(self, vit, params):
+        self.model = vit
+        self.params = params
+
+    def apply(self, params, x, *, deterministic=True, rng=None):
+        return self.model(params, x, deterministic=deterministic, rng=rng)
+
+
+class BaselineViTClsFM(ClsFoundModel):
+    """Non-MIRAGE baseline: timm-style ViT classifier, ImageNet-RGB norm
+    (fm_cls_config.py:101-109 SOTA default), optional timm checkpoint."""
+
+    norm = "imagenet"
+    vit_name = "vit_base_patch16"
+
+    def build_model(self, *, num_classes: int, pool: str, weights: str,
+                    input_size: int = 512, patch_size: int = 32,
+                    compute_dtype=None, attn_impl: str = "auto"):
+        import jax
+        import jax.numpy as jnp
+
+        from mirage_tpu.models.vit import vit_factory
+
+        vit = vit_factory[self.vit_name](
+            num_classes=num_classes, img_size=input_size, pool=pool,
+            compute_dtype=compute_dtype or jnp.float32, attn_impl=attn_impl)
+        params = vit.init_params(jax.random.PRNGKey(0))
+        import os
+
+        if weights and os.path.exists(str(weights)):
+            from mirage_tpu.api import convert
+
+            sd = convert.load_torch_checkpoint(weights)["model"] \
+                if str(weights).endswith(".pth") \
+                else convert.load_safetensors(str(weights))
+            try:
+                loaded = vit.params_from_torch(sd)
+                # keep the fresh head when num_classes differ
+                if loaded["head"]["w"].shape != params["head"]["w"].shape:
+                    loaded["head"] = params["head"]
+                params = loaded
+            except KeyError as e:
+                print(f">> baseline ViT: partial/absent weights ({e}); "
+                      "training from scratch")
+        return _BaselineViTCls(vit, params)
+
+
+@add_cls_fm("vit_large")
+class ViTLargeClsFM(BaselineViTClsFM):
+    vit_name = "vit_large_patch16"
+
+
+@add_cls_fm("vit_base")
+class ViTBaseClsFM(BaselineViTClsFM):
+    vit_name = "vit_base_patch16"

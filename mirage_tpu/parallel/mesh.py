@@ -73,6 +73,21 @@ def param_specs(params) -> Dict:
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
+def global_batch_from_local(mesh: Mesh, local_batch):
+    """Multi-host (DCN) input glue: each host feeds its process-local shard of
+    the global batch (loaded via DataLoader's shard_index/num_shards) and this
+    assembles the logically-global sharded arrays (SURVEY.md §2.5: per-host
+    dataset sharding + make_array_from_process_local_data)."""
+    sharding = NamedSharding(mesh, batch_spec())
+
+    def make(x):
+        sh = NamedSharding(
+            mesh, P(("data", "fsdp"), *([None] * (np.ndim(x) - 1))))
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree_util.tree_map(make, local_batch)
+
+
 def shard_params(params, mesh: Mesh):
     """Place params on the mesh according to param_specs."""
     specs = param_specs(params)
