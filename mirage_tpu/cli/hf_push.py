@@ -1,0 +1,80 @@
+"""HF Hub distribution helper.
+
+Parity: hf/helper_hf.py — 'push' converts a reference-format checkpoint
+(.pth or orbax dir) into the HF layout (model.safetensors + config.json,
+inner-model key namespace) locally and optionally pushes to the Hub;
+'load' round-trips it through the one-file public API as a check.
+
+Usage:
+  python -m mirage_tpu.cli.hf_push -t push -s base \
+      --weights ./__weights/MIRAGE-Base.pth [--repo j-morano/MIRAGE-Base --hub]
+  python -m mirage_tpu.cli.hf_push -t load -s base --path ./MIRAGE-Base
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from mirage_tpu.cli.config import apply_platform_env
+
+apply_platform_env()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("MIRAGE HF push/load")
+    p.add_argument("-t", "--task", choices=["push", "load"], required=True)
+    p.add_argument("-s", "--size", choices=["base", "large"], default="base")
+    p.add_argument("--weights", default=None, type=str)
+    p.add_argument("--path", default=None, type=str,
+                   help="local output dir (push) / source (load)")
+    p.add_argument("--repo", default=None, type=str)
+    p.add_argument("--hub", action="store_true",
+                   help="also push to the HF hub (requires network + token)")
+    args = p.parse_args(argv)
+
+    name = f"MIRAGE-{args.size.capitalize()}"
+    config = {"input_size": 512, "patch_size": 32, "modalities": "bscan-slo",
+              "size": args.size}
+
+    if args.task == "push":
+        from safetensors.numpy import save_file
+
+        from mirage_tpu.api import convert
+
+        weights = args.weights or f"./__weights/{name}.pth"
+        if weights.endswith(".pth"):
+            sd = convert.load_torch_checkpoint(weights)["model"]
+        else:
+            sd = convert.load_safetensors(weights)
+        # encoder-only HF flavor: drop the reconstruction decoders
+        sd = {k: np.ascontiguousarray(np.asarray(v)) for k, v in sd.items()
+              if "output_adapters" not in k}
+        out_dir = args.path or name
+        os.makedirs(out_dir, exist_ok=True)
+        save_file(sd, os.path.join(out_dir, "model.safetensors"))
+        with open(os.path.join(out_dir, "config.json"), "w") as f:
+            json.dump(config, f, indent=2)
+        print(f"Wrote {out_dir}/model.safetensors ({len(sd)} tensors)")
+        if args.hub:
+            from huggingface_hub import HfApi
+
+            api = HfApi()
+            repo = args.repo or f"j-morano/{name}"
+            api.create_repo(repo, repo_type="model", exist_ok=True)
+            api.upload_folder(folder_path=out_dir, repo_id=repo,
+                              repo_type="model")
+            print(f"Pushed to {repo}")
+    else:
+        from mirage_tpu.hf import MIRAGEWrapper
+
+        src = args.path or (args.repo or f"j-morano/{name}")
+        model = MIRAGEWrapper.from_pretrained(src, size=args.size)
+        x = np.zeros((1, 1, 512, 512), np.float32)
+        out = model({"bscan": x, "slo": x})
+        print(f"Loaded {src}: features {tuple(out.shape)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -301,6 +301,19 @@ def main(argv=None):
     for idx, value in args.inverse_mapping.items():
         lut[idx] = value
 
+    def save_panel(batch, pred, epoch, mode):
+        """input | prediction | GT debug panel (run_seg_tuning.py:826-855)."""
+        from PIL import Image
+
+        img = np.asarray(batch[args.in_domains[0]][0])
+        img = img[0] if img.ndim == 3 else img
+        u8 = lambda a: ((a - a.min()) / max(a.max() - a.min(), 1e-12) * 255).astype(np.uint8)
+        panel = np.concatenate([u8(img), u8(pred[0].astype(np.float32)),
+                                u8(np.asarray(batch["semseg"][0], np.float32))], axis=1)
+        d = Path(args.output_dir) / "val_images"
+        d.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(panel).save(d / f"e{epoch:04d}_{mode}.png")
+
     def evaluate(params_, loader, mode="val", epoch=0, save_preds=False):
         logger = MetricLogger()
         acc = SegMetricAccumulator(args.num_classes, ignore_index=255)
@@ -308,10 +321,13 @@ def main(argv=None):
             preds_dir.mkdir(parents=True, exist_ok=True)
         from PIL import Image
 
-        for batch, _, sids in loader:
+        step_to_save = int(np.random.default_rng(epoch).integers(0, max(len(loader), 1)))
+        for step_i, (batch, _, sids) in enumerate(loader):
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             pred, loss = eval_fn(params_, jb)
             pred = np.asarray(pred)
+            if not args.infer_only and step_i == step_to_save:
+                save_panel(batch, pred, epoch if isinstance(epoch, int) else 0, mode)
             if save_preds:
                 for i, sid in enumerate(sids):
                     Image.fromarray(lut[pred[i]]).save(preds_dir / f"{sid}.png")
