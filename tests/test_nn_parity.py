@@ -158,3 +158,36 @@ def test_semseg_input_adapter_matches(reference_path, rng):
     }
     got = ad(p, jnp.asarray(x, dtype=jnp.int32))
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
+@requires_reference
+def test_semseg_input_adapter_interpolate_class_emb(reference_path, rng):
+    """interpolate_class_emb=True path: bilinear downsample + 1x1 conv
+    (input_adapters.py:194-205), plus emb_padding_idx."""
+    from mirage.input_adapters import SemSegInputAdapter as RefAdapter
+
+    torch.manual_seed(4)
+    ref_ad = RefAdapter(num_classes=4, stride_level=4, patch_size_full=32,
+                        image_size=128, dim_class_emb=64,
+                        interpolate_class_emb=True, emb_padding_idx=4)
+    ref_ad.init(dim_tokens=96)
+    ref_ad.eval()
+    x = rng.integers(0, 5, (2, 32, 32))  # includes the padding index 4
+    with torch.no_grad():
+        ref = t2n(ref_ad(torch.from_numpy(x)))
+
+    from mirage_tpu.adapters.input_adapters import SemSegInputAdapter
+
+    ad = SemSegInputAdapter(num_classes=4, stride_level=4, patch_size_full=32,
+                            image_size=128, dim_class_emb=64,
+                            interpolate_class_emb=True, emb_padding_idx=4)
+    # interpolate path: proj is Sequential(Upsample, Conv 1x1) -> proj.1
+    w = t2n(ref_ad.proj[1].weight)
+    p = {
+        "pos_emb": jnp.asarray(t2n(ref_ad.pos_emb)),
+        "class_emb": jnp.asarray(t2n(ref_ad.class_emb.weight)),
+        "proj": {"w": jnp.asarray(w.reshape(w.shape[0], -1).T),
+                 "b": jnp.asarray(t2n(ref_ad.proj[1].bias))},
+    }
+    got = ad(p, jnp.asarray(x, dtype=jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
