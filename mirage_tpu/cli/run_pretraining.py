@@ -87,6 +87,8 @@ def get_parser():
     p.add_argument("--auto_resume", default=True, type=bool)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--remat", default=True, type=bool,
+                   help="per-layer rematerialization (activation checkpointing)")
     p.add_argument("--mesh_fsdp", default=1, type=int)
     p.add_argument("--mesh_tensor", default=1, type=int)
     p.add_argument("--log_freq", default=20, type=int)
@@ -138,7 +140,8 @@ def build_model(args):
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     return model_factory[args.model](
         input_adapters, output_adapters, num_global_tokens=args.num_global_tokens,
-        drop_path_rate=args.drop_path, compute_dtype=dtype)
+        drop_path_rate=args.drop_path, compute_dtype=dtype,
+        remat=getattr(args, "remat", False))
 
 
 def warm_start(params, model, weights_path: str):

@@ -61,6 +61,8 @@ def get_parser():
     p.add_argument("--layer_decay", default=0.75, type=float)
     p.add_argument("--freeze_encoder", default=True, type=bool)
     p.add_argument("--no_freeze_encoder", dest="freeze_encoder", action="store_false")
+    p.add_argument("--remat", default=False, action="store_true",
+                   help="encoder activation checkpointing (full-FT memory)")
     p.add_argument("--weights", required=True, type=str)
     p.add_argument("--data_path", required=True, type=str)
     p.add_argument("--test_data_path", default=None, type=str)
@@ -166,7 +168,8 @@ def build_model(args, fm):
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     return model_factory[model_name](
         input_adapters, output_adapters, num_global_tokens=args.num_global_tokens,
-        drop_path_rate=args.drop_path_encoder, compute_dtype=dtype)
+        drop_path_rate=args.drop_path_encoder, compute_dtype=dtype,
+        remat=args.remat)
 
 
 def make_criterion(args):
