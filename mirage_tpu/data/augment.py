@@ -127,6 +127,12 @@ def affine_warp(img: np.ndarray, angle: float, translate, scale: float, shear,
     matrix = np.array([[m[4], m[3]], [m[1], m[0]]], np.float64)
     offset = np.array([m[5], m[2]], np.float64)
 
+    from mirage_tpu.utils import native as _native
+
+    out = _native.affine_warp(img, matrix, offset, order=order, cval=fill)
+    if out is not None:
+        return out
+
     def warp2d(plane):
         return affine_transform(plane.astype(np.float32), matrix, offset=offset,
                                 order=order, mode="constant", cval=fill)

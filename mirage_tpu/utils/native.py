@@ -42,6 +42,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_float]
         lib.minmax_norm_f32.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_long]
+        lib.affine_warp_f32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_float]
         assert lib.fastops_version() >= 1
         _lib = lib
     except Exception:
@@ -90,6 +94,33 @@ def u8_to_f32(x: np.ndarray, scale: float = 1.0 / 255.0) -> Optional[np.ndarray]
     out = np.empty(x.shape, np.float32)
     lib.u8_to_f32_scaled(xin.ctypes.data, out.ctypes.data, x.size, scale)
     return out
+
+
+def affine_warp(x: np.ndarray, matrix: np.ndarray, offset: np.ndarray,
+                *, order: int = 1, cval: float = 0.0) -> Optional[np.ndarray]:
+    """Batched inverse-affine warp of (..., H, W) f32 planes. matrix: (2, 2)
+    [[m_yy, m_yx], [m_xy, m_xx]], offset: (2,) in (y, x) order — the same
+    parameterization scipy.ndimage.affine_transform takes."""
+    lib = _load()
+    if lib is None:
+        return None
+    orig_dtype = x.dtype
+    lead = x.shape[:-2]
+    h, w = x.shape[-2:]
+    xin = np.ascontiguousarray(x, np.float32).reshape(-1, h, w)
+    b = xin.shape[0]
+    mats = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(matrix, np.float64).reshape(4), (b, 4)))
+    offs = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(offset, np.float64).reshape(2), (b, 2)))
+    out = np.empty_like(xin)
+    lib.affine_warp_f32(xin.ctypes.data, out.ctypes.data, b, h, w,
+                        mats.ctypes.data, offs.ctypes.data, int(order),
+                        float(cval))
+    out = out.reshape(*lead, h, w)
+    if np.issubdtype(orig_dtype, np.integer):
+        return np.round(out).astype(orig_dtype)
+    return out.astype(orig_dtype)
 
 
 def minmax_norm_inplace(x: np.ndarray) -> Optional[np.ndarray]:

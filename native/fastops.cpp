@@ -142,6 +142,56 @@ void minmax_norm_f32(float* data, long b, long plane) {
   });
 }
 
+// Batched inverse-affine warp (torchvision TF.affine semantics; matches
+// scipy.ndimage.affine_transform with the same matrix/offset).
+// matrix/offset per batch element: in_y = m[0]*y + m[1]*x + off[0],
+//                                  in_x = m[2]*y + m[3]*x + off[1].
+// order: 0 = nearest, 1 = bilinear. Out-of-range samples get cval
+// (no edge blending, matching scipy's constant mode).
+void affine_warp_f32(const float* in, float* out, long b, long h, long w,
+                     const double* matrices /* (b,4) */,
+                     const double* offsets /* (b,2) */, int order,
+                     float cval) {
+  parallel_for(b, [&](long p) {
+    const float* src = in + p * h * w;
+    float* dst = out + p * h * w;
+    const double m0 = matrices[p * 4 + 0], m1 = matrices[p * 4 + 1];
+    const double m2 = matrices[p * 4 + 2], m3 = matrices[p * 4 + 3];
+    const double o0 = offsets[p * 2 + 0], o1 = offsets[p * 2 + 1];
+    for (long y = 0; y < h; ++y) {
+      double yin0 = m0 * y + o0;
+      double xin0 = m2 * y + o1;
+      float* d = dst + y * w;
+      for (long x = 0; x < w; ++x) {
+        double yin = yin0 + m1 * x;
+        double xin = xin0 + m3 * x;
+        if (order == 0) {
+          // scipy constant mode rejects coords outside [0, n-1] BEFORE
+          // the nearest rounding
+          if (yin < 0.0 || yin > h - 1 || xin < 0.0 || xin > w - 1) {
+            d[x] = cval;
+            continue;
+          }
+          long yi = (long)std::floor(yin + 0.5);
+          long xi = (long)std::floor(xin + 0.5);
+          d[x] = src[yi * w + xi];
+        } else {
+          if (yin < 0.0 || yin > h - 1 || xin < 0.0 || xin > w - 1) {
+            d[x] = cval;
+            continue;
+          }
+          long y0 = (long)yin, x0 = (long)xin;
+          long y1 = std::min(y0 + 1, h - 1), x1 = std::min(x0 + 1, w - 1);
+          float fy = (float)(yin - y0), fx = (float)(xin - x0);
+          float a = src[y0 * w + x0] * (1 - fx) + src[y0 * w + x1] * fx;
+          float c = src[y1 * w + x0] * (1 - fx) + src[y1 * w + x1] * fx;
+          d[x] = a * (1 - fy) + c * fy;
+        }
+      }
+    }
+  });
+}
+
 int fastops_version() { return 1; }
 
 }  // extern "C"

@@ -69,3 +69,40 @@ def test_resize_np_dispatches_native(rng):
     ww = _resize_matrix(60, 64, "bilinear", False)
     want = np.einsum("pw,chw->chp", ww, np.einsum("oh,chw->cow", wh, x))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_affine_warp_matches_scipy(rng):
+    from scipy.ndimage import affine_transform
+
+    x = rng.random((3, 48, 48)).astype(np.float32)
+    th = 0.31
+    matrix = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    offset = np.array([3.7, -2.1])
+    got = native.affine_warp(x, matrix, offset, order=1, cval=0.5)
+    want = np.stack([affine_transform(p, matrix, offset=offset, order=1,
+                                      mode="constant", cval=0.5) for p in x])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    labels = rng.integers(0, 7, (2, 40, 40)).astype(np.int32)
+    got = native.affine_warp(labels, matrix, offset, order=0, cval=0)
+    want = np.stack([affine_transform(p, matrix, offset=offset, order=0,
+                                      mode="constant", cval=0) for p in labels])
+    assert (got == want).mean() > 0.995  # .5-boundary rounding may differ
+    assert got.dtype == labels.dtype
+
+
+def test_augment_affine_warp_uses_native(rng):
+    """data.augment.affine_warp gives identical output through the native
+    dispatch and the scipy fallback."""
+    import mirage_tpu.utils.native as nat
+    from mirage_tpu.data.augment import affine_warp
+
+    img = rng.random((64, 64)).astype(np.float32)
+    got = affine_warp(img, 8.0, (3, -2), 1.05, 2.0)
+    real_load = nat._load
+    try:
+        nat._load = lambda: None  # force scipy fallback
+        want = affine_warp(img, 8.0, (3, -2), 1.05, 2.0)
+    finally:
+        nat._load = real_load
+    np.testing.assert_allclose(got, want, atol=1e-5)
