@@ -74,6 +74,11 @@ class MIRAGEWrapper:
                                        with_outputs=output_adapters)
         self.params = convert.torch_to_params(sd, self.model)
         self._n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(self.params))
+        # per-instance executable caches (an lru_cache on a bound method would
+        # key on self and pin params of discarded wrappers)
+        self._fwd_cache: Dict = {}
+        self._features_model = None
+        self._features_jit = None
 
     # ------------------------------------------------------------------
 
@@ -136,9 +141,11 @@ class MIRAGEWrapper:
 
     # ------------------------------------------------------------------
 
-    @functools.lru_cache(maxsize=16)
     def _compiled_forward(self, present: tuple, batch: int):
         """One jitted executable per (modalities-present, batch) pattern."""
+        key = (present, batch)
+        if key in self._fwd_cache:
+            return self._fwd_cache[key]
         model = self.model
 
         num_visible = sum(
@@ -149,7 +156,8 @@ class MIRAGEWrapper:
                         num_visible=num_visible, deterministic=True)
             return out[0]
 
-        return jax.jit(fwd)
+        self._fwd_cache[key] = jax.jit(fwd)
+        return self._fwd_cache[key]
 
     def __call__(self, x: Dict[str, jax.Array]):
         """x: task -> array ((B,1,H,W) float in [0,1], or (B,H,W) int labels
@@ -177,13 +185,16 @@ class MIRAGEWrapper:
         return fwd(self.params, x, masks)
 
     def features(self, x: Dict[str, jax.Array]):
-        """Encoder-only features (hf/mirage_hf.py semantics): (B, N+G, D)."""
-        model = MIRAGEModel(
-            input_adapters=self.model.input_adapters, output_adapters=None,
-            num_global_tokens=self.model.num_global_tokens,
-            dim_tokens=self.model.dim_tokens, depth=self.model.depth,
-            num_heads=self.model.num_heads, compute_dtype=self.model.compute_dtype,
-            attn_impl=self.model.attn_impl)
+        """Encoder-only features (hf/mirage_hf.py semantics): (B, N+G, D).
+        Jitted; one executable per modality-presence pattern."""
+        if self._features_model is None:
+            import dataclasses
+
+            self._features_model = dataclasses.replace(
+                self.model, output_adapters=None)
+            model = self._features_model
+            self._features_jit = jax.jit(
+                lambda params, xs: model.forward_light(params, xs))
         x = {k: jnp.asarray(v) if k != "bscanlayermap" else jnp.asarray(v).astype(jnp.int32)
              for k, v in x.items()}
-        return model.forward_light(self.params, x)
+        return self._features_jit(self.params, x)

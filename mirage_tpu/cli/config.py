@@ -13,6 +13,19 @@ import os
 from typing import Dict, Optional, Tuple
 
 
+def str2bool(v) -> bool:
+    """argparse bool type: accepts true/false/1/0/yes/no (plain type=bool
+    would make '--flag False' truthy)."""
+    if isinstance(v, bool):
+        return v
+    s = str(v).strip().lower()
+    if s in ("true", "1", "yes", "y", "t"):
+        return True
+    if s in ("false", "0", "no", "n", "f"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
+
+
 def apply_platform_env():
     """Honor JAX_PLATFORMS even when the site patches jax's default platform
     list (this image defaults to 'axon,cpu' regardless of the env var)."""

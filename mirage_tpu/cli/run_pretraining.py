@@ -26,7 +26,7 @@ from typing import Dict
 import numpy as np
 
 from mirage_tpu.cli.config import (apply_platform_env, normalize_domain_sizes,
-                                   parse_with_yaml, save_args)
+                                   parse_with_yaml, save_args, str2bool)
 
 apply_platform_env()
 
@@ -49,8 +49,8 @@ def get_parser():
     p.add_argument("--input_size", default=512, type=int)
     p.add_argument("--alphas", default=1.0, type=float)
     p.add_argument("--sample_tasks_uniformly", default=False, action="store_true")
-    p.add_argument("--decoder_use_task_queries", default=True, type=bool)
-    p.add_argument("--decoder_use_xattn", default=True, type=bool)
+    p.add_argument("--decoder_use_task_queries", default=True, type=str2bool)
+    p.add_argument("--decoder_use_xattn", default=True, type=str2bool)
     p.add_argument("--decoder_dim", default=256, type=int)
     p.add_argument("--decoder_depth", default=2, type=int)
     p.add_argument("--decoder_num_heads", default=8, type=int)
@@ -76,7 +76,7 @@ def get_parser():
     # augmentation
     p.add_argument("--hflip", default=0.5, type=float)
     p.add_argument("--intensity_shift", default=0.1, type=float)
-    p.add_argument("--affine", default=True, type=bool)
+    p.add_argument("--affine", default=True, type=str2bool)
     # data / io
     p.add_argument("--data_path", required=True, type=str)
     p.add_argument("--output_dir", default="./output/pretrain", type=str)
@@ -84,15 +84,15 @@ def get_parser():
     p.add_argument("--use_cache", default=False, action="store_true")
     p.add_argument("--weights", default="", type=str,
                    help="warm-start checkpoint (.pth/.safetensors)")
-    p.add_argument("--auto_resume", default=True, type=bool)
+    p.add_argument("--auto_resume", default=True, type=str2bool)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
-    p.add_argument("--remat", default=True, type=bool,
+    p.add_argument("--remat", default=True, type=str2bool,
                    help="per-layer rematerialization (activation checkpointing)")
     p.add_argument("--mesh_fsdp", default=1, type=int)
     p.add_argument("--mesh_tensor", default=1, type=int)
     p.add_argument("--log_freq", default=20, type=int)
-    p.add_argument("--debug_images", default=True, type=bool)
+    p.add_argument("--debug_images", default=True, type=str2bool)
     p.add_argument("--max_steps_per_epoch", default=None, type=int,
                    help="debug/smoke-run cap")
     p.add_argument("--profile_dir", default=None, type=str,

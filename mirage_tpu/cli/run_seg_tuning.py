@@ -25,7 +25,7 @@ from pathlib import Path
 import numpy as np
 
 from mirage_tpu.cli.config import (apply_platform_env, normalize_domain_sizes,
-                                   parse_with_yaml, save_args)
+                                   parse_with_yaml, save_args, str2bool)
 
 apply_platform_env()
 
@@ -59,7 +59,7 @@ def get_parser():
     p.add_argument("--warmup_epochs", default=1, type=int)
     p.add_argument("--warmup_steps", default=-1, type=int)
     p.add_argument("--layer_decay", default=0.75, type=float)
-    p.add_argument("--freeze_encoder", default=True, type=bool)
+    p.add_argument("--freeze_encoder", default=True, type=str2bool)
     p.add_argument("--no_freeze_encoder", dest="freeze_encoder", action="store_false")
     p.add_argument("--remat", default=False, action="store_true",
                    help="encoder activation checkpointing (full-FT memory)")
@@ -68,7 +68,7 @@ def get_parser():
     p.add_argument("--test_data_path", default=None, type=str)
     p.add_argument("--output_dir", default="./output/seg", type=str)
     p.add_argument("--version", default="v1", type=str)
-    p.add_argument("--minmax", default=True, type=bool)
+    p.add_argument("--minmax", default=True, type=str2bool)
     p.add_argument("--test", default=False, action="store_true")
     p.add_argument("--infer_only", default=False, action="store_true")
     p.add_argument("--num_workers", default=8, type=int)

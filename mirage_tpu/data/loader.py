@@ -97,6 +97,17 @@ class DataLoader:
 
             return self.collate_fn([load(j) for j in batches[i]])
 
+        def safe_put(item) -> bool:
+            """Bounded put that wakes up when the consumer abandons the
+            iterator (stop set mid-epoch) instead of blocking forever."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer(pool):
             # sliding window of in-flight batches bounds host RAM
             window = self.num_workers + self.prefetch
@@ -107,13 +118,12 @@ class DataLoader:
                     while next_submit < nb and next_submit < i + window:
                         futures[next_submit] = pool.submit(fetch_one, next_submit)
                         next_submit += 1
-                    if stop.is_set():
+                    if not safe_put(("ok", futures.pop(i).result())):
                         return
-                    out_q.put(("ok", futures.pop(i).result()))
             except BaseException as e:  # propagate to consumer
-                out_q.put(("err", e))
+                safe_put(("err", e))
             finally:
-                out_q.put(("end", None))
+                safe_put(("end", None))
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             t = threading.Thread(target=producer, args=(pool,), daemon=True)

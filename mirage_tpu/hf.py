@@ -19,7 +19,6 @@ hf/helper_hf.py:9-77 (from_pretrained).
 """
 
 import functools
-import math
 from typing import Any, Dict, Mapping, Optional, Tuple
 
 import numpy as np
@@ -35,10 +34,12 @@ def _pair(v):
 # ---------------------------------------------------------------- numerics
 
 def build_2d_sincos_posemb(h: int, w: int, embed_dim: int, temperature: float = 1e4):
-    """MoCo-v3 style (hf/mirage_hf.py:93-110). Returns (1, D, H, W)."""
+    """MoCo-v3 style (hf/mirage_hf.py:93-110). Returns (1, D, H, W) with the
+    reference's exact layout quirk: meshgrid('ij') over (w, h) flattened and
+    then reinterpreted as (h, w)."""
     assert embed_dim % 4 == 0
     gw, gh = np.meshgrid(np.arange(w, dtype=np.float32),
-                         np.arange(h, dtype=np.float32))
+                         np.arange(h, dtype=np.float32), indexing="ij")
     pos_dim = embed_dim // 4
     omega = np.arange(pos_dim, dtype=np.float32) / pos_dim
     omega = 1.0 / (temperature ** omega)
@@ -46,7 +47,8 @@ def build_2d_sincos_posemb(h: int, w: int, embed_dim: int, temperature: float = 
     out_h = gh.reshape(-1)[:, None] * omega[None]
     pos = np.concatenate([np.sin(out_w), np.cos(out_w),
                           np.sin(out_h), np.cos(out_h)], axis=1)
-    return jnp.asarray(pos.T.reshape(1, embed_dim, h, w))
+    pos = pos.reshape(1, h, w, embed_dim).transpose(0, 3, 1, 2)
+    return jnp.asarray(pos)
 
 
 @functools.lru_cache(maxsize=64)

@@ -28,6 +28,9 @@ NO_DECAY_LEAF_NAMES = {"b", "bias", "scale"}
 # reference no_weight_decay sets (model.py:126-143, adapters)
 NO_DECAY_PATH_NAMES = {"pos_emb", "class_emb", "global_tokens", "mask_token",
                        "task_embeddings", "cls_emb"}
+# non-learnable buffers (torch buffers are excluded from the optimizer):
+# BatchNorm running statistics
+BUFFER_LEAF_NAMES = {"mean", "var"}
 # non-learnable buffers (requires_grad=False in the reference): fixed sincos
 # posembs are frozen unless learnable_pos_emb
 FROZEN_PATH_NAMES_DEFAULT = ()
@@ -71,6 +74,12 @@ def _leaf_meta(cfg: OptimizerConfig, names: Tuple[str, ...], leaf) -> Dict[str, 
         wd = cfg.decoder_decay
 
     trainable = True
+    if last in BUFFER_LEAF_NAMES:
+        # BatchNorm running stats: frozen buffers, never decayed. (Their
+        # train-mode EMA update is intentionally not threaded through the
+        # train step: every reference seg config runs use_bn=False.)
+        trainable = False
+        wd = 0.0
     if "pos_emb" in names:
         # fixed sincos posembs: excluded from the optimizer in the reference
         # (requires_grad=False). Learnable-posemb configs can re-enable via
@@ -144,30 +153,45 @@ class GroupedOptimizer:
         meta = self.meta(params)
         gnorm = global_norm(grads)
 
+        # skip_grad: reference scaler returns BEFORE optimizer.step() on a
+        # norm explosion (native_scaler.py:24-29) — params, moments, AND the
+        # Adam step count must all stay untouched.
+        if cfg.skip_grad is not None:
+            keep = (jnp.isfinite(gnorm) & (gnorm < cfg.skip_grad)).astype(jnp.float32)
+        else:
+            keep = jnp.float32(1.0)
+
         if cfg.clip_grad is not None:
             scale = jnp.minimum(1.0, cfg.clip_grad / (gnorm + 1e-6))
             grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
 
-        count = state["count"] + 1
+        count = state["count"] + keep.astype(jnp.int32)
         new_state = {"count": count}
+
+        def blend(old, new):
+            # select, not arithmetic mix: `new` may be inf/NaN on skipped steps
+            return jnp.where(keep > 0, new, old)
 
         if cfg.opt in ("adamw", "adam"):
             b1, b2 = cfg.betas
+            if cfg.opt == "adam":
+                # torch Adam applies weight decay as L2 on the gradient
+                grads = jax.tree_util.tree_map(
+                    lambda g, p, wd: g + (wd * wd_scale) * p,
+                    grads, params, meta["wd"])
             mu = jax.tree_util.tree_map(
-                lambda m, g: b1 * m + (1 - b1) * g, state["mu"], grads)
+                lambda m, g: blend(m, b1 * m + (1 - b1) * g), state["mu"], grads)
             nu = jax.tree_util.tree_map(
-                lambda n, g: b2 * n + (1 - b2) * jnp.square(g), state["nu"], grads)
+                lambda n, g: blend(n, b2 * n + (1 - b2) * jnp.square(g)),
+                state["nu"], grads)
             new_state["mu"], new_state["nu"] = mu, nu
-            c1 = 1 - b1 ** count.astype(jnp.float32)
-            c2 = 1 - b2 ** count.astype(jnp.float32)
+            c1 = 1 - b1 ** jnp.maximum(count.astype(jnp.float32), 1.0)
+            c2 = 1 - b2 ** jnp.maximum(count.astype(jnp.float32), 1.0)
 
             def upd(m, n, p, wd, scale):
-                adam = (m / c1) / (jnp.sqrt(n / c2) + cfg.eps)
-                step = adam
+                step = (m / c1) / (jnp.sqrt(n / c2) + cfg.eps)
                 if cfg.opt == "adamw":
                     step = step + (wd * wd_scale) * p
-                else:
-                    pass  # plain adam: wd handled as L2 in grads upstream (unused)
                 return -lr * scale * step
 
             updates = jax.tree_util.tree_map(
@@ -179,7 +203,7 @@ class GroupedOptimizer:
                 lambda g, p, wd: g + (wd * wd_scale) * p,
                 grads, params, meta["wd"])
             mu = jax.tree_util.tree_map(
-                lambda m, dd: momentum * m + dd, state["mu"], d)
+                lambda m, dd: blend(m, momentum * m + dd), state["mu"], d)
             new_state["mu"] = mu
 
             def upd(m, dd, scale):
@@ -188,10 +212,8 @@ class GroupedOptimizer:
 
             updates = jax.tree_util.tree_map(upd, mu, d, meta["lr_scale"])
 
-        if cfg.skip_grad is not None:
-            keep = (gnorm < cfg.skip_grad).astype(jnp.float32)
-            updates = jax.tree_util.tree_map(lambda u: u * keep, updates)
-
+        updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(keep > 0, u, jnp.zeros_like(u)), updates)
         updates = jax.tree_util.tree_map(
             lambda u, t: u if t else jnp.zeros_like(u),
             updates, meta["trainable"])

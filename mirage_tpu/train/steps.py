@@ -30,12 +30,11 @@ def make_pretrain_loss(model, domain_conf: Mapping[str, Mapping[str, Any]],
     'norm_pix': bool}. Returns loss_fn(params, batch, rng) -> (loss, aux)."""
 
     def loss_fn(params, batch, rng):
-        rng_mask, rng_model = jax.random.split(rng)
         preds, masks = model(
             params, batch, mask_inputs=True,
             num_encoded_tokens=num_encoded_tokens, alphas=alphas,
             sample_tasks_uniformly=sample_tasks_uniformly,
-            rng=rng_mask, deterministic=False)
+            rng=rng, deterministic=False)
         task_losses = {}
         for task, pred in preds.items():
             conf = domain_conf[task]
@@ -103,7 +102,17 @@ def shard_state(state, mesh):
 
 
 def shard_batch(batch, mesh):
-    sh = NamedSharding(mesh, batch_spec())
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, NamedSharding(
-            mesh, P(("data", "fsdp"), *([None] * (x.ndim - 1))))), batch)
+    """Place a batch on the mesh. Single-process: device_put with the batch
+    sharding. Multi-host: each process holds only its local stripe (the
+    DataLoader shards by process), so the global array is assembled from
+    process-local data."""
+    if jax.process_count() > 1:
+        from mirage_tpu.parallel.mesh import global_batch_from_local
+
+        return global_batch_from_local(mesh, batch)
+
+    def place(x):
+        spec = P(batch_spec()[0], *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, batch)

@@ -273,3 +273,23 @@ def test_cls_transform(rng):
     out = ClsTransform(input_size=64, train=False, norm="imagenet")(
         raw, np.random.default_rng(0))
     assert out.shape == (3, 64, 64)
+
+
+def test_loader_early_break_no_deadlock():
+    """Abandoning iteration mid-epoch (max_steps_per_epoch pattern) must not
+    leave producer threads blocked."""
+    import threading
+
+    from mirage_tpu.data.loader import DataLoader
+
+    before = threading.active_count()
+    ds = _ArrayDataset(64)
+    for _ in range(5):
+        dl = DataLoader(ds, batch_size=4, num_workers=2, prefetch=1)
+        for i, _batch in enumerate(dl):
+            if i == 1:
+                break
+    import time
+
+    time.sleep(0.5)
+    assert threading.active_count() <= before + 2

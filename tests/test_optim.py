@@ -85,3 +85,66 @@ def test_cosine_scheduler_matches(reference_path):
     ours = cosine_scheduler(1e-4, 1e-6, epochs=10, niter_per_ep=7, warmup_epochs=2)
     ref = ref_sched(1e-4, 1e-6, epochs=10, niter_per_ep=7, warmup_epochs=2)
     np.testing.assert_allclose(ours, ref, rtol=1e-12)
+
+
+def test_skip_grad_preserves_moments():
+    """A skipped step must leave params, Adam moments AND the step count
+    untouched (native_scaler.py:24-29 semantics)."""
+    import jax.numpy as jnp
+
+    from mirage_tpu.train.optim import GroupedOptimizer, OptimizerConfig
+
+    opt = GroupedOptimizer(OptimizerConfig(opt="adamw", skip_grad=1.0))
+    params = {"w": jnp.ones((4, 4))}
+    state = opt.init(params)
+    good = {"w": jnp.full((4, 4), 0.01)}
+    params1, state1, _ = opt.update(good, state, params, 1e-2)
+    assert not np.allclose(np.asarray(params1["w"]), np.asarray(params["w"]))
+
+    bad = {"w": jnp.full((4, 4), jnp.inf)}
+    params2, state2, gnorm = opt.update(bad, state1, params1, 1e-2)
+    assert not np.isfinite(float(gnorm))
+    np.testing.assert_array_equal(np.asarray(params2["w"]), np.asarray(params1["w"]))
+    np.testing.assert_array_equal(np.asarray(state2["mu"]["w"]),
+                                  np.asarray(state1["mu"]["w"]))
+    np.testing.assert_array_equal(np.asarray(state2["nu"]["w"]),
+                                  np.asarray(state1["nu"]["w"]))
+    assert int(state2["count"]) == int(state1["count"])
+    # recovery: the next good step proceeds normally and stays finite
+    params3, state3, _ = opt.update(good, state2, params2, 1e-2)
+    assert np.all(np.isfinite(np.asarray(params3["w"])))
+    assert int(state3["count"]) == int(state1["count"]) + 1
+
+
+def test_adam_applies_l2_weight_decay():
+    import jax.numpy as jnp
+
+    from mirage_tpu.train.optim import GroupedOptimizer, OptimizerConfig
+
+    params = {"w": jnp.ones((2, 2))}
+    grads = {"w": jnp.zeros((2, 2))}
+    for opt_name in ("adam", "adamw"):
+        opt = GroupedOptimizer(OptimizerConfig(opt=opt_name, weight_decay=0.1))
+        _, _, _ = opt.update(grads, opt.init(params), params, 1e-2)
+        p2, _, _ = opt.update(grads, opt.init(params), params, 1e-2)
+        # zero grads + wd>0 must still shrink the weights
+        assert float(p2["w"][0, 0]) < 1.0, opt_name
+
+
+def test_bn_buffers_frozen():
+    import jax.numpy as jnp
+
+    from mirage_tpu.train.optim import GroupedOptimizer, OptimizerConfig
+
+    params = {"head": {"bn": {"scale": jnp.ones(3), "bias": jnp.zeros(3),
+                              "mean": jnp.zeros(3), "var": jnp.ones(3)},
+                       "conv1": {"w": jnp.ones((3, 3))}}}
+    opt = GroupedOptimizer(OptimizerConfig(opt="adamw", weight_decay=0.1))
+    grads = jax.tree_util.tree_map(lambda x: jnp.ones_like(x), params)
+    p2, _, _ = opt.update(grads, opt.init(params), params, 1e-2)
+    np.testing.assert_array_equal(np.asarray(p2["head"]["bn"]["mean"]),
+                                  np.asarray(params["head"]["bn"]["mean"]))
+    np.testing.assert_array_equal(np.asarray(p2["head"]["bn"]["var"]),
+                                  np.asarray(params["head"]["bn"]["var"]))
+    assert not np.allclose(np.asarray(p2["head"]["conv1"]["w"]),
+                           np.asarray(params["head"]["conv1"]["w"]))
