@@ -97,3 +97,46 @@ def test_mesh_default_data_parallel():
     mesh = make_mesh()
     assert mesh.shape["data"] == 8
     assert mesh.shape["fsdp"] == 1 and mesh.shape["tensor"] == 1
+
+
+def test_sharded_seg_step():
+    """Downstream seg tuning step (frozen encoder + ConvNeXt head) sharded
+    over the full 2x2x2 mesh matches single-device."""
+    from mirage_tpu.adapters.seg_heads import ConvNeXtAdapter
+    from mirage_tpu.losses import ce_gdice_loss
+
+    ins = {"bscan": PatchedInputAdapter(num_channels=1, patch_size_full=(16, 16),
+                                        image_size=64)}
+    outs = {"semseg": ConvNeXtAdapter(num_classes=4, embed_dim=256,
+                                      preds_per_patch=16, patch_size=(16, 16),
+                                      depth=1, task="bscan",
+                                      image_size=(64, 64))}
+    model = MIRAGEModel(input_adapters=ins, output_adapters=outs,
+                        dim_tokens=128, depth=2, num_heads=4, attn_impl="xla")
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt = create_optimizer(OptimizerConfig(opt="adamw", weight_decay=0.05,
+                                           layer_decay=0.75, num_layers=2,
+                                           freeze_encoder=True))
+
+    def loss_fn(p, batch, rng):
+        preds = model.forward_light(p, {"bscan": batch["bscan"]})
+        return ce_gdice_loss(preds["semseg"].astype(jnp.float32),
+                             batch["semseg"]), {}
+
+    step = make_train_step(loss_fn, opt, donate=False)
+    rng = np.random.default_rng(1)
+    batch = {"bscan": jnp.asarray(rng.random((8, 1, 64, 64)), jnp.float32),
+             "semseg": jnp.asarray(rng.integers(0, 4, (8, 64, 64)), jnp.int32)}
+
+    state_ref, m_ref = step(init_train_state(params, opt), batch,
+                            jax.random.PRNGKey(2), 1e-4, 1.0)
+    mesh = make_mesh({"data": 2, "fsdp": 2, "tensor": 2})
+    state1 = shard_state(init_train_state(params, opt), mesh)
+    with mesh:
+        state_sh, m_sh = step(state1, shard_batch(batch, mesh),
+                              jax.random.PRNGKey(2), 1e-4, 1.0)
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]), rtol=1e-4)
+    # frozen encoder must not move, on either path
+    for got, want in zip(jax.tree_util.tree_leaves(state_sh["params"]["encoder"]),
+                         jax.tree_util.tree_leaves(params["encoder"])):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
