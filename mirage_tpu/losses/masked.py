@@ -63,7 +63,9 @@ def masked_ce_loss(logits, target, mask: Optional[jax.Array] = None,
     h, w = logits.shape[-2:]
     nh, nw = h // scale, w // scale
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
-    nll = -jnp.take_along_axis(logp, target[:, None], axis=1)[:, 0]
+    # one-hot reduction: class-dim gathers degenerate to scalar loads on TPU
+    onehot = jax.nn.one_hot(target, logp.shape[1], axis=1, dtype=logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=1)
     if label_smoothing > 0.0:
         smooth = -logp.mean(axis=1)
         nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
