@@ -103,6 +103,109 @@ def _flash_fwd(q, k, v, sm_scale: float, interpret: bool = False):
     return out[:, :nq].reshape(b, h, nq, d)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                     kv_len: int, scale: float):
+    """Backward for one query block against the full K/V of one (b, h).
+
+    Recomputes P in VMEM (never materializing the scores in HBM), then:
+      dP = dO Vᵀ;  dS = P ∘ (dP − rowsum(P ∘ dP)) · scale
+      dQ_blk = dS K;  dK += dSᵀ Q_blk;  dV += Pᵀ dO_blk
+    dK/dV revisit the same output block across query blocks (the grid's
+    second dim is 'arbitrary' = sequential), accumulating in f32.
+    """
+    j = pl.program_id(1)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    s = s * scale
+    if kv_len < k.shape[0]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (bq, nk) f32
+
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (bq, nk)
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale  # (bq, nk) f32
+
+    dq = jax.lax.dot_general(
+        ds.astype(q.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    dk_blk = jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (nk, d)
+    dv_blk = jax.lax.dot_general(
+        p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (nk, d)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[0] = dk_blk.astype(dk_ref.dtype)
+        dv_ref[0] = dv_blk.astype(dv_ref.dtype)
+
+    @pl.when(j > 0)
+    def _accum():
+        dk_ref[0] += dk_blk.astype(dk_ref.dtype)
+        dv_ref[0] += dv_blk.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def _flash_bwd(q, k, v, do, sm_scale: float, interpret: bool = False):
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    nq_pad = pl.cdiv(nq, 128) * 128
+    nk_pad = pl.cdiv(nk, 128) * 128
+    block_q = _block_q_for(nq_pad)
+
+    qr = _pad_to(q.reshape(b * h, nq, d), nq_pad, axis=1)
+    kr = _pad_to(k.reshape(b * h, nk, d), nk_pad, axis=1)
+    vr = _pad_to(v.reshape(b * h, nk, d), nk_pad, axis=1)
+    dor = _pad_to(do.reshape(b * h, nq, d), nq_pad, axis=1)
+
+    grid = (b * h, nq_pad // block_q)
+    kernel = functools.partial(_attn_bwd_kernel, kv_len=nk, scale=sm_scale)
+    kwargs = {}
+    if _HAVE_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"))
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, nq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, nk_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, nk_pad, d), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, nk_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, nk_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, nk_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, nk_pad, d), lambda i, j: (i, 0, 0)),
+        ),
+        interpret=interpret,
+        **kwargs,
+    )(qr, kr, vr, dor)
+    dq = dq[:, :nq].reshape(b, h, nq, d)
+    dk = dk[:, :nk].reshape(b, h, nk, d).astype(k.dtype)
+    dv = dv[:, :nk].reshape(b, h, nk, d).astype(v.dtype)
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash(q, k, v, sm_scale):
     return _flash_fwd(q, k, v, sm_scale)
@@ -114,24 +217,22 @@ def _flash_fwd_vjp(q, k, v, sm_scale):
 
 def _flash_bwd_vjp(sm_scale, res, g):
     q, k, v = res
-
-    def ref_attn(q, k, v):
-        s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                       preferred_element_type=jnp.float32) * sm_scale
-        p = jax.nn.softmax(s, axis=-1)
-        return jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v)
-
-    _, vjp = jax.vjp(ref_attn, q, k, v)
-    return vjp(g)
+    return _flash_bwd(q, k, v, g, sm_scale)
 
 
 _flash.defvjp(_flash_fwd_vjp, _flash_bwd_vjp)
 
 
 def flash_attention(q, k, v, sm_scale: float, interpret: bool = False):
-    """Fused attention over (B, H, N, Dh). Differentiable (XLA-recompute
-    backward). `interpret=True` runs the kernel in the Pallas interpreter
-    (CPU testing)."""
+    """Fused attention over (B, H, N, Dh), differentiable end-to-end in
+    Pallas (fwd kernel + flash backward kernel; scores never touch HBM).
+    `interpret=True` runs the kernels in the Pallas interpreter (CPU
+    testing)."""
     if interpret:
         return _flash_fwd(q, k, v, sm_scale, interpret=True)
     return _flash(q, k, v, sm_scale)
+
+
+def flash_attention_bwd_interpret(q, k, v, do, sm_scale: float):
+    """Interpreter-mode backward (CPU tests)."""
+    return _flash_bwd(q, k, v, do, sm_scale, interpret=True)

@@ -29,6 +29,8 @@ def test_flash_matches_xla(b, h, nq, nk, d):
 
 
 def test_flash_grad_matches_xla():
+    """The registered backward (Pallas kernel, interpret mode on CPU) matches
+    jax.grad of the XLA reference attention."""
     rng = np.random.default_rng(0)
     b, h, n, d = 1, 2, 99, 64
     q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
@@ -36,23 +38,73 @@ def test_flash_grad_matches_xla():
     v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
     scale = d ** -0.5
 
-    def loss_flash(q, k, v):
-        # custom_vjp path: forward would use the Pallas kernel on TPU; on CPU
-        # the fwd here also runs through _flash (non-interpret) — skip fwd
-        # compilation issues by checking only the registered backward.
-        from mirage_tpu.ops.flash_attention import _flash_bwd_vjp
-
-        out = sdpa_xla(q, k, v, scale)
-        return jnp.sum(out ** 2)
-
     def loss_ref(q, k, v):
         return jnp.sum(sdpa_xla(q, k, v, scale) ** 2)
 
     g1 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
-    # backward of the custom vjp is the same XLA recompute: check it directly
-    from mirage_tpu.ops.flash_attention import _flash_bwd_vjp
+    from mirage_tpu.ops.flash_attention import flash_attention_bwd_interpret
 
-    out, pull = jax.vjp(lambda q, k, v: sdpa_xla(q, k, v, scale), q, k, v)
-    g_custom = _flash_bwd_vjp(scale, (q, k, v), 2 * out)
+    out = sdpa_xla(q, k, v, scale)
+    g_custom = flash_attention_bwd_interpret(q, k, v, 2 * out, scale)
     for a, b_ in zip(g1, g_custom):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
+def test_flash_backward_matches_xla(rng):
+    """Pallas backward kernel (interpret mode) vs jax.vjp of the reference
+    attention, including ragged kv_len padding."""
+    import jax
+    import jax.numpy as jnp
+
+    from mirage_tpu.ops.flash_attention import flash_attention_bwd_interpret
+
+    b, h, n, d = 2, 3, 130, 32  # n=130 pads to 256 -> exercises the mask
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    scale = d ** -0.5
+
+    def ref_attn(q, k, v):
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v)
+
+    _, vjp = jax.vjp(ref_attn, q, k, v)
+    want_dq, want_dk, want_dv = vjp(g)
+    got_dq, got_dk, got_dv = flash_attention_bwd_interpret(q, k, v, g, scale)
+    np.testing.assert_allclose(np.asarray(got_dq), np.asarray(want_dq),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_dk), np.asarray(want_dk),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_dv), np.asarray(want_dv),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_flash_backward_multi_qblock(rng):
+    """dK/dV accumulation across query blocks (nq > block size)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mirage_tpu.ops.flash_attention import flash_attention_bwd_interpret
+
+    b, h, n, d = 1, 2, 300, 32  # pads to 384 -> 3 blocks of 128
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    scale = d ** -0.5
+
+    def ref_attn(q, k, v):
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v)
+
+    _, vjp = jax.vjp(ref_attn, q, k, v)
+    want = vjp(g)
+    got = flash_attention_bwd_interpret(q, k, v, g, scale)
+    for gt, wt in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(wt),
+                                   atol=3e-5, rtol=1e-4)
