@@ -63,7 +63,11 @@ def _pad_to(x, size, axis):
 
 
 def _block_q_for(nq_pad: int) -> int:
-    for cand in (512, 256, 128):
+    # Prefer one program per (b, h) for short sequences: per-program overhead
+    # dominates the tiny matmuls (measured at N=257 on v5e).
+    if nq_pad <= 512:
+        return nq_pad
+    for cand in (512, 384, 256, 128):
         if nq_pad % cand == 0:
             return cand
     return 128
