@@ -43,7 +43,11 @@ class MIRAGEWrapper:
         compute_dtype=jnp.float32,
         attn_impl: str = "auto",
         output_adapters: bool = True,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh for multi-chip serving — params
+        shard per parallel.mesh.param_specs (Megatron-style encoder split over
+        'fsdp'x'tensor'), inputs shard over the 'data' axis. None = one chip."""
         assert weights is not None
         ckpt = convert.load_torch_checkpoint(weights) if str(weights).endswith(".pth") \
             else {"model": convert.load_safetensors(str(weights)), "args": {}}
@@ -74,11 +78,27 @@ class MIRAGEWrapper:
                                        with_outputs=output_adapters)
         self.params = convert.torch_to_params(sd, self.model)
         self._n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(self.params))
+        self.mesh = mesh
+        if mesh is not None:
+            from mirage_tpu.parallel.mesh import shard_params
+
+            self.params = shard_params(self.params, mesh)
         # per-instance executable caches (an lru_cache on a bound method would
         # key on self and pin params of discarded wrappers)
         self._fwd_cache: Dict = {}
         self._features_model = None
         self._features_jit = None
+
+    def _place_batch(self, tree):
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x, NamedSharding(self.mesh,
+                                 P(("data", "fsdp"), *([None] * (x.ndim - 1))))),
+            tree)
 
     # ------------------------------------------------------------------
 
@@ -181,6 +201,8 @@ class MIRAGEWrapper:
                 fill_v = 0
             n = self.grid_size[k][0] * self.grid_size[k][1]
             masks[k] = jnp.full((batch, n), fill_v, jnp.int32)
+        x = self._place_batch(x)
+        masks = self._place_batch(masks)
         fwd = self._compiled_forward(present, batch)
         return fwd(self.params, x, masks)
 

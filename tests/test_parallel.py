@@ -140,3 +140,54 @@ def test_sharded_seg_step():
     for got, want in zip(jax.tree_util.tree_leaves(state_sh["params"]["encoder"]),
                          jax.tree_util.tree_leaves(params["encoder"])):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_wrapper_multichip_inference(tmp_path):
+    """MIRAGEWrapper(mesh=...): Large-style serving sharded over the mesh
+    matches single-chip output."""
+    import torch
+
+    from types import SimpleNamespace
+
+    from mirage_tpu.adapters import PatchedInputAdapter, SemSegInputAdapter
+    from mirage_tpu.adapters.spatial_output import SpatialOutputAdapter as Ours
+    from mirage_tpu.api.convert import params_to_torch
+    from mirage_tpu.api.wrapper import MIRAGEWrapper
+    from mirage_tpu.models.mirage import MIRAGEModel as Core
+
+    # tiny checkpoint in the reference format
+    domains = ["bscan", "slo", "bscanlayermap"]
+    ins = {"bscan": PatchedInputAdapter(num_channels=1, patch_size_full=(32, 32),
+                                        image_size=512),
+           "slo": PatchedInputAdapter(num_channels=1, patch_size_full=(32, 32),
+                                      image_size=512),
+           "bscanlayermap": SemSegInputAdapter(num_classes=13,
+                                               patch_size_full=(8, 8),
+                                               image_size=128)}
+    outs = {d: Ours(num_channels=13 if d == "bscanlayermap" else 1,
+                    patch_size_full=(8, 8) if d == "bscanlayermap" else (32, 32),
+                    dim_tokens=64, depth=1, num_heads=4, task=d,
+                    context_tasks=tuple(domains),
+                    image_size=(128, 128) if d == "bscanlayermap" else (512, 512))
+            for d in domains}
+    core = Core(input_adapters=ins, output_adapters=outs, dim_tokens=192,
+                depth=3, num_heads=4)  # 'tiny' preset dims
+    params = core.init_params(jax.random.PRNGKey(0))
+    sd = {k: torch.from_numpy(np.array(v))
+          for k, v in params_to_torch(params, core).items()}
+    args = SimpleNamespace(model="miragepre_tiny", num_global_tokens=1,
+                           drop_path=0.0, in_domains=domains, out_domains=domains,
+                           decoder_dim=64, decoder_depth=1, decoder_num_heads=4,
+                           decoder_use_task_queries=True, decoder_use_xattn=True)
+    ckpt = str(tmp_path / "mirage-tiny.pth")
+    torch.save({"model": sd, "args": args}, ckpt)
+
+    x = {"bscan": np.random.default_rng(0).random((8, 1, 512, 512), np.float32)}
+
+    single = MIRAGEWrapper(weights=ckpt)
+    want = np.asarray(single(x)["bscan"])
+
+    mesh = make_mesh({"data": 2, "fsdp": 2, "tensor": 2})
+    sharded = MIRAGEWrapper(weights=ckpt, mesh=mesh)
+    got = np.asarray(sharded(x)["bscan"])
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
