@@ -89,16 +89,28 @@ class MIRAGEWrapper:
         self._features_model = None
         self._features_jit = None
 
-    def _place_batch(self, tree):
+    def _batch_multiple(self) -> int:
+        if self.mesh is None:
+            return 1
+        return self.mesh.shape["data"] * self.mesh.shape["fsdp"]
+
+    def _place_batch(self, tree, batch: int):
+        """Mesh placement via the shared train-side helper; batches are padded
+        to the data*fsdp multiple by the callers (outputs sliced back)."""
         if self.mesh is None:
             return tree
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from mirage_tpu.train.steps import shard_batch
 
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(
-                x, NamedSharding(self.mesh,
-                                 P(("data", "fsdp"), *([None] * (x.ndim - 1))))),
-            tree)
+        mult = self._batch_multiple()
+        pad = (-batch) % mult
+
+        def pad_batch(x):
+            if pad == 0:
+                return x
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        return shard_batch(jax.tree_util.tree_map(pad_batch, tree), self.mesh)
 
     # ------------------------------------------------------------------
 
@@ -201,10 +213,14 @@ class MIRAGEWrapper:
                 fill_v = 0
             n = self.grid_size[k][0] * self.grid_size[k][1]
             masks[k] = jnp.full((batch, n), fill_v, jnp.int32)
-        x = self._place_batch(x)
-        masks = self._place_batch(masks)
-        fwd = self._compiled_forward(present, batch)
-        return fwd(self.params, x, masks)
+        x = self._place_batch(x, batch)
+        masks = self._place_batch(masks, batch)
+        padded = batch + (-batch) % self._batch_multiple()
+        fwd = self._compiled_forward(present, padded)
+        preds = fwd(self.params, x, masks)
+        if padded != batch:
+            preds = {k: v[:batch] for k, v in preds.items()}
+        return preds
 
     def features(self, x: Dict[str, jax.Array]):
         """Encoder-only features (hf/mirage_hf.py semantics): (B, N+G, D).
@@ -219,4 +235,8 @@ class MIRAGEWrapper:
                 lambda params, xs: model.forward_light(params, xs))
         x = {k: jnp.asarray(v) if k != "bscanlayermap" else jnp.asarray(v).astype(jnp.int32)
              for k, v in x.items()}
-        return self._features_jit(self.params, x)
+        batch = int(next(iter(x.values())).shape[0])
+        x = self._place_batch(x, batch)
+        out = self._features_jit(self.params, x)
+        padded = batch + (-batch) % self._batch_multiple()
+        return out[:batch] if padded != batch else out

@@ -191,3 +191,44 @@ def test_wrapper_multichip_inference(tmp_path):
     sharded = MIRAGEWrapper(weights=ckpt, mesh=mesh)
     got = np.asarray(sharded(x)["bscan"])
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_wrapper_multichip_odd_batch(tmp_path):
+    """Batch sizes not divisible by data*fsdp (incl. batch 1) pad internally
+    and slice back; features() also shards its inputs."""
+    import torch
+
+    from types import SimpleNamespace
+
+    from mirage_tpu.adapters import PatchedInputAdapter
+    from mirage_tpu.api.convert import params_to_torch
+    from mirage_tpu.api.wrapper import MIRAGEWrapper
+    from mirage_tpu.models.mirage import MIRAGEModel as Core
+
+    ins = {"bscan": PatchedInputAdapter(num_channels=1, patch_size_full=(32, 32),
+                                        image_size=512)}
+    core = Core(input_adapters=ins, output_adapters=None, dim_tokens=192,
+                depth=3, num_heads=4)
+    params = core.init_params(jax.random.PRNGKey(0))
+    sd = {k: torch.from_numpy(np.array(v))
+          for k, v in params_to_torch(params, core).items()}
+    args = SimpleNamespace(model="miragepre_tiny", num_global_tokens=1,
+                           drop_path=0.0, in_domains=["bscan"],
+                           out_domains=[], decoder_dim=64, decoder_depth=1,
+                           decoder_num_heads=4, decoder_use_task_queries=True,
+                           decoder_use_xattn=True)
+    ckpt = str(tmp_path / "mirage-tiny-enc.pth")
+    torch.save({"model": sd, "args": args}, ckpt)
+
+    mesh = make_mesh({"data": 2, "fsdp": 2, "tensor": 2})
+    w = MIRAGEWrapper(weights=ckpt, modalities="bscan", mesh=mesh,
+                      output_adapters=False)
+    single = MIRAGEWrapper(weights=ckpt, modalities="bscan",
+                           output_adapters=False)
+    for batch in (1, 3):
+        x = {"bscan": np.random.default_rng(batch).random(
+            (batch, 1, 512, 512), np.float32)}
+        got = np.asarray(w.features(x))
+        want = np.asarray(single.features(x))
+        assert got.shape[0] == batch
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
