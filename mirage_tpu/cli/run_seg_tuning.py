@@ -202,6 +202,16 @@ def main(argv=None):
     from mirage_tpu.train.steps import (init_train_state, make_train_step,
                                         shard_batch, shard_state)
 
+    # idempotence guards (run_seg_tuning.py:1123-1134): skip finished
+    # trainings; require a best checkpoint before test-only runs
+    best_dir = Path(args.output_dir) / "checkpoint-best"
+    final_dir = Path(args.output_dir) / f"checkpoint-{args.epochs - 1}"
+    if not args.test and best_dir.is_dir() and final_dir.is_dir():
+        print("Model already trained. Skipping...")
+        return
+    if args.test and not best_dir.is_dir():
+        raise SystemExit("ERROR: Model not fully trained (no checkpoint-best)")
+
     fm = pick_fm(seg_fm_factory, args.weights)
     if args.minmax:
         fm.norm = "minmax"
