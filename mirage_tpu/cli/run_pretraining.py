@@ -144,6 +144,23 @@ def build_model(args):
         remat=getattr(args, "remat", False))
 
 
+# Weight-filename substring -> model config (run_pretraining.py:353-368 +
+# docs/pretraining.md: 'multimae-b' warm-starts MIRAGE-Base, 'mae_pretrain'
+# warm-starts MIRAGE-Large)
+WARMSTART_MODEL_KEYS = {"multimae-b": "miragepre_base",
+                        "mae_pretrain": "miragepre_large"}
+
+
+def pick_model_from_weights(args, default: str = "miragepre_base"):
+    if args.model != default or not args.weights:
+        return args.model
+    for kw, name in WARMSTART_MODEL_KEYS.items():
+        if kw in os.path.basename(args.weights).lower():
+            print(f">> Model {name} selected by weights filename ('{kw}')")
+            return name
+    return args.model
+
+
 def warm_start(params, model, weights_path: str):
     from mirage_tpu.api import convert
 
@@ -213,6 +230,7 @@ def main(argv=None):
     mesh = make_mesh({"data": ndev // (args.mesh_fsdp * args.mesh_tensor),
                       "fsdp": args.mesh_fsdp, "tensor": args.mesh_tensor})
 
+    args.model = pick_model_from_weights(args)
     model = build_model(args)
     params = model.init_params(jax.random.PRNGKey(args.seed))
 
