@@ -4,7 +4,7 @@
 Headline workload: MIRAGE-Large inference on the mirage_wrapper.py path
 (bscan present at 512²/p32; slo + 13-class layermap reconstructed by the
 three SpatialOutputAdapter decoders), bf16 compute and bf16-resident params,
-batch 32 (measured optimum on v5e).
+batch 48 (measured optimum on v5e: 32->457, 40->470, 48->485, 56->435, 64->428 img/s).
 
 Timing: dispatches are chained through a scalar accumulator and synced once
 at the end — block_until_ready is a no-op on the tunneled axon platform and
@@ -25,7 +25,7 @@ import numpy as np
 
 
 A100_EST_IMG_PER_SEC = 890.0
-BATCH = 32
+BATCH = 48
 ITERS = 20
 
 
