@@ -22,9 +22,37 @@ from mirage_tpu.cli.config import apply_platform_env
 apply_platform_env()
 
 
+def export_orbax(ckpt_dir: str, out_path: str):
+    """Export a training checkpoint (orbax dir written by run_pretraining)
+    to a reference-namespace safetensors file. The model is rebuilt from the
+    args recorded in meta.json."""
+    import json as _json
+
+    from argparse import Namespace
+
+    from mirage_tpu.cli.run_pretraining import build_model
+    from mirage_tpu.train import checkpoint as ckpt
+    from mirage_tpu.train.checkpoint import save_safetensors
+
+    with open(os.path.join(ckpt_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    args = Namespace(**meta["args"])
+    args.patch_size = {k: tuple(v) for k, v in args.patch_size.items()}
+    args.input_size = {k: tuple(v) for k, v in args.input_size.items()}
+    model = build_model(args)
+
+    import jax
+
+    params = model.init_params(jax.random.PRNGKey(0))
+    state, _ = ckpt.load_checkpoint(ckpt_dir, {"params": params}, partial=True)
+    save_safetensors(state["params"], model, out_path)
+    print(f"Exported {ckpt_dir} -> {out_path}")
+    return out_path
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("MIRAGE HF push/load")
-    p.add_argument("-t", "--task", choices=["push", "load"], required=True)
+    p.add_argument("-t", "--task", choices=["push", "load", "export"], required=True)
     p.add_argument("-s", "--size", choices=["base", "large"], default="base")
     p.add_argument("--weights", default=None, type=str)
     p.add_argument("--path", default=None, type=str,
@@ -37,6 +65,12 @@ def main(argv=None):
     name = f"MIRAGE-{args.size.capitalize()}"
     config = {"input_size": 512, "patch_size": 32, "modalities": "bscan-slo",
               "size": args.size}
+
+    if args.task == "export":
+        assert args.weights, "--weights: orbax checkpoint dir (checkpoint-N)"
+        out = args.path or os.path.join(os.path.dirname(args.weights.rstrip("/")),
+                                        "model.safetensors")
+        return export_orbax(args.weights, out)
 
     if args.task == "push":
         from safetensors.numpy import save_file

@@ -75,14 +75,22 @@ def latest_checkpoint(output_dir: str) -> Optional[str]:
     return max(candidates)[1]
 
 
-def load_checkpoint(path: str, state_template):
+def load_checkpoint(path: str, state_template, *, partial: bool = False):
     """Restore a checkpoint into the structure (and shardings) of
-    ``state_template``. Returns (state, meta_dict)."""
+    ``state_template``. Returns (state, meta_dict). partial=True restores a
+    sub-pytree (e.g. params only, ignoring optimizer state)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state_template)
-    state = ckptr.restore(path, abstract)
+    if partial:
+        # restore everything (structure from the checkpoint's own metadata),
+        # then slice the requested subtree — orbax's StandardRestore has no
+        # partial mode in this version
+        full = ckptr.restore(path)
+        state = {k: full[k] for k in state_template}
+    else:
+        state = ckptr.restore(path, abstract)
     meta_path = os.path.join(path, "meta.json")
     meta = {}
     if os.path.exists(meta_path):
