@@ -142,7 +142,11 @@ def main(argv=None):
 
     @jax.jit
     def train_step(state, images, targets, rng, lr):
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        def wrapped(params, images, targets, rng):
+            # frozen leaves (linear probing) get stop_gradient: no dW compute
+            return loss_fn(opt.stop_frozen(params), images, targets, rng)
+
+        (loss, logits), grads = jax.value_and_grad(wrapped, has_aux=True)(
             state["params"], images, targets, rng)
         params, opt_state, gnorm = opt.update(grads, state["opt"],
                                               state["params"], lr)

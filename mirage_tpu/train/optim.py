@@ -220,6 +220,15 @@ class GroupedOptimizer:
         new_params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return new_params, new_state, gnorm
 
+    def stop_frozen(self, params):
+        """Wrap frozen leaves in stop_gradient so autodiff never computes
+        their weight gradients (the reference excludes frozen params from the
+        optimizer, so torch builds no grad graph for them either). Activation
+        gradients still flow THROUGH frozen layers — only dW is eliminated."""
+        trainable = self.meta(params)["trainable"]
+        return jax.tree_util.tree_map(
+            lambda p, t: p if t else jax.lax.stop_gradient(p), params, trainable)
+
     def count_trainable(self, params):
         meta = self.meta(params)["trainable"]
         total = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params))

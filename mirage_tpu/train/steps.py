@@ -63,7 +63,10 @@ def make_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
     """
 
     def step_fn(state, batch, rng, lr, wd_scale):
-        (loss, task_losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        def wrapped(params, batch, rng):
+            return loss_fn(optimizer.stop_frozen(params), batch, rng)
+
+        (loss, task_losses), grads = jax.value_and_grad(wrapped, has_aux=True)(
             state["params"], batch, rng)
         params, opt_state, gnorm = optimizer.update(
             grads, state["opt"], state["params"], lr, wd_scale)

@@ -148,3 +148,27 @@ def test_bn_buffers_frozen():
                                   np.asarray(params["head"]["bn"]["var"]))
     assert not np.allclose(np.asarray(p2["head"]["conv1"]["w"]),
                            np.asarray(params["head"]["conv1"]["w"]))
+
+
+def test_stop_frozen_grads_match():
+    """stop_frozen changes WHERE grads are computed, not their values: the
+    trainable leaves' gradients are identical with and without it, and frozen
+    leaves get exact zeros."""
+    import jax
+    import jax.numpy as jnp
+
+    from mirage_tpu.train.optim import GroupedOptimizer, OptimizerConfig
+
+    params = {"encoder": {"w": jnp.arange(4.0).reshape(2, 2)},
+              "head": {"w": jnp.ones((2, 2))}}
+    opt = GroupedOptimizer(OptimizerConfig(opt="adamw", frozen_paths=("encoder",)))
+    x = jnp.asarray([[1.0, 2.0]])
+
+    def loss(p):
+        return jnp.sum((x @ p["encoder"]["w"] @ p["head"]["w"]) ** 2)
+
+    g_plain = jax.grad(loss)(params)
+    g_frozen = jax.grad(lambda p: loss(opt.stop_frozen(p)))(params)
+    np.testing.assert_allclose(np.asarray(g_frozen["head"]["w"]),
+                               np.asarray(g_plain["head"]["w"]), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(g_frozen["encoder"]["w"]), 0.0)
