@@ -22,7 +22,7 @@ from typing import Any, Dict, Mapping
 import numpy as np
 import jax.numpy as jnp
 
-from mirage_tpu.adapters.input_adapters import PatchedInputAdapter, SemSegInputAdapter
+from mirage_tpu.adapters.input_adapters import SemSegInputAdapter
 from mirage_tpu.adapters.spatial_output import SpatialOutputAdapter
 
 

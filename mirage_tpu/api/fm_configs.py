@@ -6,10 +6,7 @@ fm_cls_config.py (cls registry building miragecls heads with transform
 stacks and linear-probe/full-FT lr defaults).
 """
 
-import dataclasses
 from typing import Dict, Optional
-
-import numpy as np
 
 from mirage_tpu.utils.factory import get_factory_adder
 

@@ -12,8 +12,7 @@ Differences by design (TPU-native):
   - device placement is implicit (default JAX device = the TPU chip).
 """
 
-import functools
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ import argparse
 import hashlib
 import json
 import os
-from typing import Dict, Optional, Tuple
 
 
 def str2bool(v) -> bool:

@@ -21,7 +21,6 @@ import argparse
 import os
 import sys
 import time
-from typing import Dict
 
 import numpy as np
 

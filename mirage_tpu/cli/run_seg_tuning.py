@@ -16,7 +16,6 @@ Usage:
 
 import argparse
 import json
-import os
 import sys
 import time
 from functools import partial

@@ -21,7 +21,7 @@ the reference's global `random`/`np.random` state).
 """
 
 import math
-from typing import Dict, Mapping, Optional, Sequence, Tuple
+from typing import Dict, Mapping, Optional, Tuple
 
 import numpy as np
 

@@ -9,7 +9,7 @@ instead of keeping every prediction in host RAM (the reference accumulates
 full lists, run_seg_tuning.py:1056-1059 — unnecessary at TPU batch sizes).
 """
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -10,8 +10,6 @@ distances via scipy's exact euclidean distance transform, and
 max(P95(pred->gt), P95(gt->pred)) — the same definition MONAI implements.
 """
 
-from typing import Optional
-
 import numpy as np
 
 

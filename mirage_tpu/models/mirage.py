@@ -7,7 +7,7 @@ dataclass of configs; parameters are a plain pytree created by
 """
 
 import dataclasses
-from typing import Any, Dict, Mapping, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, Mapping, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp

@@ -10,11 +10,8 @@ patch_embed.proj.{weight,bias}, blocks.{i}.*, norm.*, head.*).
 """
 
 import dataclasses
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mirage_tpu.models.encoder import encoder_apply, encoder_init
 from mirage_tpu.nn import init as vinit

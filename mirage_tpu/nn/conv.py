@@ -12,12 +12,8 @@ reassemble/fusion convs (output_adapter_utils.py:49-225,
 output_adapters.py:672-726) and 1x1 head convs.
 """
 
-from typing import Optional, Tuple, Union
-
 import jax
 import jax.numpy as jnp
-
-from mirage_tpu.nn import init as vinit
 
 
 def _pair(v):

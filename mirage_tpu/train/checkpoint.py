@@ -16,7 +16,7 @@ import glob
 import json
 import os
 import re
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -17,7 +17,7 @@ traced scalars fed per step from host-side schedule arrays.
 """
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,7 @@ host-side schedule arrays (no recompiles); loss in f32; model compute dtype
 is configurable (bf16 on TPU).
 """
 
-import functools
-from typing import Any, Callable, Dict, Mapping, Optional
+from typing import Any, Callable, Mapping
 
 import jax
 import jax.numpy as jnp
