@@ -315,6 +315,29 @@ def interpolate_pos_embed_sd(sd: Dict[str, np.ndarray], model) -> Dict[str, np.n
     return out
 
 
+def interpolate_vit_pos_embed(arr, new_grid: int, num_prefix_tokens: int = 1):
+    """Bicubic-resize a timm-style learned pos_embed (1, P + G*G, D) to a new
+    square grid, keeping prefix (cls) tokens (mutils/pos_embed analog for the
+    baseline ViTs; torch F.interpolate bicubic align_corners=False semantics)."""
+    from mirage_tpu.nn.resize import _resize_matrix
+
+    arr = np.asarray(arr, dtype=np.float32)
+    prefix, patch = arr[:, :num_prefix_tokens], arr[:, num_prefix_tokens:]
+    orig = int(round(patch.shape[1] ** 0.5))
+    if orig * orig != patch.shape[1]:
+        raise ValueError(f"pos_embed patch count {patch.shape[1]} not square")
+    if orig == new_grid:
+        return arr
+    d = patch.shape[-1]
+    grid = patch.reshape(1, orig, orig, d)
+    wh = _resize_matrix(orig, new_grid, "bicubic", False)
+    ww = _resize_matrix(orig, new_grid, "bicubic", False)
+    grid = np.einsum("oh,bhwd->bowd", wh, grid)
+    grid = np.einsum("pw,bhwd->bhpd", ww, grid)
+    return np.concatenate([prefix, grid.reshape(1, new_grid * new_grid, d)],
+                          axis=1)
+
+
 def seg_checkpoint_surgery(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Pretrain-checkpoint -> seg-tuning surgery (fm_seg_config.py:87-104):
     rename bscanlayermap->semseg, pad the semseg class embedding by one row

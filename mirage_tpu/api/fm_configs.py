@@ -14,12 +14,13 @@ add_seg_fm, seg_fm_factory = get_factory_adder()
 add_cls_fm, cls_fm_factory = get_factory_adder()
 
 
-def pick_fm(factory: Dict[str, type], weights_path: str):
+def pick_fm(factory: Dict[str, type], weights_path: str, **kwargs):
     """Registry lookup by substring of the weights filename
-    (run_seg_tuning.py:389-395)."""
+    (run_seg_tuning.py:389-395). kwargs are passed to the FM constructor
+    (e.g. linear_probing for the cls registry)."""
     for kw, cls in factory.items():
         if kw in str(weights_path).lower():
-            return cls()
+            return cls(**kwargs)
     raise ValueError(f"Unknown model for weights: {weights_path} "
                      f"(known: {list(factory)})")
 
@@ -79,6 +80,9 @@ class ClsFoundModel:
 
     norm = "minmax"
     size_kw = "base"
+    # Reference default input sizes: MIRAGE 512 (fm_cls_config.py:137-138),
+    # SOTA ViT baselines 224 (fm_cls_config.py:130-131, FoundSOTAModel).
+    default_input_size = 512
 
     def __init__(self, linear_probing: bool = True):
         self.linear_probing = linear_probing
@@ -140,6 +144,7 @@ class BaselineViTClsFM(ClsFoundModel):
 
     norm = "imagenet"
     vit_name = "vit_base_patch16"
+    default_input_size = 224
 
     def build_model(self, *, num_classes: int, pool: str, weights: str,
                     input_size: int = 512, patch_size: int = 32,
@@ -166,8 +171,14 @@ class BaselineViTClsFM(ClsFoundModel):
                 # keep the fresh head when num_classes differ
                 if loaded["head"]["w"].shape != params["head"]["w"].shape:
                     loaded["head"] = params["head"]
+                # 224-grid timm checkpoints at other input sizes: bicubic
+                # pos-embed interpolation (mutils/pos_embed.py analog)
+                if loaded["pos_embed"].shape != params["pos_embed"].shape:
+                    loaded["pos_embed"] = jnp.asarray(
+                        convert.interpolate_vit_pos_embed(
+                            loaded["pos_embed"], vit.grid))
                 params = loaded
-            except KeyError as e:
+            except (KeyError, ValueError) as e:
                 print(f">> baseline ViT: partial/absent weights ({e}); "
                       "training from scratch")
         return _BaselineViTCls(vit, params)

@@ -23,6 +23,10 @@ from mirage_tpu.cli.config import apply_platform_env, parse_with_yaml, save_args
 
 apply_platform_env()
 
+# CSV schema keyed into compute_cls_metrics' dict (never by dict order)
+VAL_KEYS = ["epoch", "loss", "bacc", "auroc", "ap", "f1", "mcc"]
+VAL_COLS = ["Epoch", "Loss", "BAcc", "AUROC", "AP", "F1-score", "MCC"]
+
 
 def get_parser():
     p = argparse.ArgumentParser("MIRAGE classification tuning (TPU)", add_help=True)
@@ -33,7 +37,8 @@ def get_parser():
     p.add_argument("--weights", required=True, type=str)
     p.add_argument("--pool", default="global", choices=["global", "cls", "token_mix"])
     p.add_argument("--linear_probing", default=False, action="store_true")
-    p.add_argument("--input_size", default=512, type=int)
+    p.add_argument("--input_size", default=None, type=int,
+                   help="default: 512 for MIRAGE, 224 for SOTA ViT baselines")
     p.add_argument("--patch_size", default=32, type=int)
     p.add_argument("--smoothing", default=0.1, type=float)
     p.add_argument("--warmup_epochs", default=5, type=int)
@@ -83,6 +88,7 @@ def main(argv=None):
     import pandas as pd
 
     from mirage_tpu.api.fm_configs import cls_fm_factory, pick_fm
+    from mirage_tpu.cli.config import args_hash
     from mirage_tpu.data import DataLoader
     from mirage_tpu.data.folder import ImageFolder
     from mirage_tpu.losses.gdice import cross_entropy_loss
@@ -94,18 +100,28 @@ def main(argv=None):
     from mirage_tpu.train.schedules import adjust_learning_rate
     from mirage_tpu.train.steps import init_train_state
 
-    fm = pick_fm(cls_fm_factory, args.weights)
-    fm.linear_probing = args.linear_probing
-    fm.__init__(linear_probing=args.linear_probing)
+    fm = pick_fm(cls_fm_factory, args.weights, linear_probing=args.linear_probing)
     if args.lr is None:
         args.lr = fm.lr
+    if args.input_size is None:
+        args.input_size = fm.default_input_size
     print(f">> {'Linear probing' if args.linear_probing else 'Full finetune'}"
-          f" lr={args.lr}")
+          f" lr={args.lr} input_size={args.input_size}")
 
     model_name = type(fm).__name__
+    # args-md5 suffix over the model-config whitelist so runs differing only
+    # in those flags get distinct dirs, while --eval reruns resolve the same
+    # one (run_cls_tuning.py:314-327)
+    hash_keys = ("early_start_from", "early_stopping_delta",
+                 "early_stopping_delta_two", "early_stopping_epochs", "fill",
+                 "weights", "input_size", "linear_probing", "lr", "min_lr",
+                 "pool", "smoothing", "val_metric", "val_metric_two",
+                 "warmup_epochs", "weight_decay")
+    exclude = tuple(k for k in vars(args) if k not in hash_keys)
     args.output_dir = os.path.join(
         args.output_dir, args.version, str(args.seed), args.data_set,
-        model_name + ("_linear" if args.linear_probing else "_finetune") + "_w")
+        model_name + ("_linear" if args.linear_probing else "_finetune")
+        + "_" + args_hash(args, exclude=exclude))
     os.makedirs(args.output_dir, exist_ok=True)
     save_args(args.output_dir, args)
 
@@ -191,7 +207,7 @@ def main(argv=None):
         stats = evaluate(state["params"], loaders["test"], "Best", mode="Test",
                          save_predictions=args.save_predictions)
         if stats is not None:
-            pd.DataFrame([stats.values()], columns=list(stats.keys())).to_csv(
+            pd.DataFrame([[stats[k] for k in VAL_KEYS]], columns=VAL_COLS).to_csv(
                 os.path.join(args.output_dir, "test_eval.csv"), index=False)
         return stats
 
@@ -243,8 +259,15 @@ def main(argv=None):
         print(f"[Train] epoch {epoch} loss {train_rows[-1][1]:.4f} "
               f"bacc {train_rows[-1][2]:.4f}")
 
+        if "val" not in loaders:
+            # no val split: keep training full-length, track latest as best
+            best_state = jax.device_get(state)
+            best_epoch = epoch
+            append_log(args.output_dir, {"epoch": epoch,
+                                         "train_loss": train_rows[-1][1]})
+            continue
         stats = evaluate(state["params"], loaders["val"], epoch)
-        val_rows.append(list(stats.values()))
+        val_rows.append([stats[k] for k in VAL_KEYS])
         is_best = early(stats[args.val_metric], stats[args.val_metric_two], epoch)
         if early.early_stop:
             print(f"Early stopping @ epoch {epoch}")
@@ -268,13 +291,12 @@ def main(argv=None):
 
     pd.DataFrame(train_rows, columns=["Epoch", "Loss", "BAcc", "F1-score"]).to_csv(
         os.path.join(args.output_dir, "train_eval.csv"), index=False)
-    cols = ["Epoch", "Loss", "BAcc", "AUROC", "AP", "F1-score", "MCC"]
-    pd.DataFrame(val_rows, columns=cols).to_csv(
+    pd.DataFrame(val_rows, columns=VAL_COLS).to_csv(
         os.path.join(args.output_dir, "valid_eval.csv"), index=False)
 
     if "test" in loaders:
         stats = evaluate(best_state["params"], loaders["test"], "Best", mode="Test")
-        pd.DataFrame([list(stats.values())], columns=cols).to_csv(
+        pd.DataFrame([[stats[k] for k in VAL_KEYS]], columns=VAL_COLS).to_csv(
             os.path.join(args.output_dir, "test_eval.csv"), index=False)
         return stats
     return None

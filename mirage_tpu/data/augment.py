@@ -177,6 +177,10 @@ class PretrainAugment:
     def __call__(self, task_dict: Dict[str, np.ndarray],
                  rng: np.random.Generator) -> Dict[str, np.ndarray]:
         flip = rng.random() < self.hflip
+        # The hard-coded (512, 512) is intentional: the reference samples
+        # affine params against [512, 512] regardless of the raw image size
+        # and warps at raw resolution before resizing
+        # (mutils/datasets_pretrain.py:37-41) — matching it exactly.
         params = random_affine_params(rng, img_size=(512, 512), **self.affine_cfg)
         out = {}
         for task, img in task_dict.items():
@@ -245,7 +249,10 @@ class SemSegTransform:
             lo, hi = img.min(), img.max()
             return (img - lo) * 255.0 / max(hi - lo, 1e-12)
         if self.norm == "z-score":
-            return img  # A.Normalize(mean=0, std=1) on [0,1-scaled] input
+            # A.Normalize(mean=0, std=1) keeps its default max_pixel_value=255,
+            # so the reference effectively divides the [0,1] input by 255 again
+            # (mutils/datasets_semseg.py:66-71) — reproduce that quirk exactly.
+            return img.astype(np.float32) / 255.0
         raise ValueError(f"Unknown norm mode {self.norm}")
 
     def __call__(self, task_dict: Dict[str, np.ndarray],

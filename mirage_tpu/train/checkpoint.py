@@ -142,11 +142,16 @@ def resolve_pretrained(name_or_path: str) -> str:
     the path does not exist locally (offline environments use local files)."""
     if os.path.exists(name_or_path):
         if os.path.isdir(name_or_path):
-            for fname in ("model.safetensors", "checkpoint-best", "model.pth"):
+            # only flat weight FILES: consumers (MIRAGEWrapper, load_safetensors)
+            # can't read an orbax 'checkpoint-best' directory — those go
+            # through load_checkpoint/export_safetensors instead
+            for fname in ("model.safetensors", "model.pth"):
                 c = os.path.join(name_or_path, fname)
-                if os.path.exists(c):
+                if os.path.isfile(c):
                     return c
-            raise FileNotFoundError(f"No weights found under {name_or_path}")
+            raise FileNotFoundError(
+                f"No weights file under {name_or_path} (orbax checkpoint dirs "
+                "must be exported to safetensors first, see cli/hf_push.py)")
         return name_or_path
     try:
         from huggingface_hub import hf_hub_download

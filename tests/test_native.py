@@ -83,6 +83,17 @@ def test_affine_warp_matches_scipy(rng):
                                       mode="constant", cval=0.5) for p in x])
     np.testing.assert_allclose(got, want, atol=1e-5)
 
+    # boundary semantics: scipy's 'constant' mode fills pure cval for any
+    # source coordinate outside [0, n-1] (no edge/cval blending) and the
+    # native kernel matches it exactly — pin with sub-pixel shifts that land
+    # source coords in (-1, 0) and (n-1, n)
+    for off in ((-0.5, 0.0), (0.0, 0.49), (0.51, -0.3)):
+        got = native.affine_warp(x, np.eye(2), np.asarray(off), order=1, cval=-7.0)
+        want = np.stack([affine_transform(p, np.eye(2), offset=np.asarray(off),
+                                          order=1, mode="constant", cval=-7.0)
+                         for p in x])
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
     labels = rng.integers(0, 7, (2, 40, 40)).astype(np.int32)
     got = native.affine_warp(labels, matrix, offset, order=0, cval=0)
     want = np.stack([affine_transform(p, matrix, offset=offset, order=0,
