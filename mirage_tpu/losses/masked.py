@@ -25,8 +25,13 @@ def _masked_mean(loss_pix, mask_pix):
     """Per-sample masked mean then nanmean over batch (criterion.py:46-47)."""
     num = jnp.sum(loss_pix.reshape(loss_pix.shape[0], -1), axis=1)
     den = jnp.sum(mask_pix.reshape(mask_pix.shape[0], -1), axis=1)
-    per_sample = num / den  # inf/nan where den == 0
     valid = den > 0
+    # divide by a SAFE denominator: num/den with den==0 is excluded from the
+    # value by the where() below, but its backward would still be NaN
+    # (0 * d(1/0) = 0*inf) and poison every gradient — e.g. whenever the
+    # Dirichlet mask leaves one task fully visible (num == 0 there, so the
+    # safe division is exact)
+    per_sample = num / jnp.maximum(den, 1.0)
     total = jnp.sum(jnp.where(valid, per_sample, 0.0))
     count = jnp.sum(valid)
     # zero-mask guard (criterion.py:36-37, :103-104): all-empty -> 0 loss
