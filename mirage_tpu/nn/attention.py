@@ -95,21 +95,40 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
 
 
+def _use_block_kernel(impl, n, attn_drop, deterministic):
+    """Short-sequence fused kernel (ops/block_attention.py): covers the
+    flagship inference (257 tokens) / pretraining (99) shapes where both the
+    flash kernel and the XLA path lose (BASELINE.md round 1). Attention
+    dropout (train-time only; all reference configs use 0.0) needs the XLA
+    probs, so it forces the generic path."""
+    if impl not in ("auto", "block"):
+        return False
+    if attn_drop > 0.0 and not deterministic:
+        return False
+    return n <= 512 and _on_tpu()
+
+
 def attention_apply(p, x, num_heads, *, impl="auto", attn_drop=0.0, proj_drop=0.0,
                     deterministic=True, rng=None):
     """Self-attention (mirage/utils.py:174-188)."""
     b, n, c = x.shape
     head_dim = c // num_heads
     scale = head_dim ** -0.5
-    qkv = linear(p["qkv"], x).reshape(b, n, 3, num_heads, head_dim)
-    qkv = qkv.transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0], qkv[1], qkv[2]
     r1 = r2 = None
     if rng is not None:
         r1, r2 = jax.random.split(rng)
-    out = sdpa(q, k, v, scale, impl=impl, attn_drop=attn_drop,
-               deterministic=deterministic, rng=r1)
-    out = _merge_heads(out)
+    qkv_flat = linear(p["qkv"], x)
+    if _use_block_kernel(impl, n, attn_drop, deterministic):
+        from mirage_tpu.ops.block_attention import block_attention
+
+        out = block_attention(qkv_flat, num_heads, scale)
+    else:
+        qkv = qkv_flat.reshape(b, n, 3, num_heads, head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        out = sdpa(q, k, v, scale, impl=impl, attn_drop=attn_drop,
+                   deterministic=deterministic, rng=r1)
+        out = _merge_heads(out)
     out = linear(p["proj"], out)
     out = dropout(out, proj_drop, deterministic=deterministic, rng=r2)
     return out

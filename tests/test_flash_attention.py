@@ -108,3 +108,53 @@ def test_flash_backward_multi_qblock(rng):
     for gt, wt in zip(got, want):
         np.testing.assert_allclose(np.asarray(gt), np.asarray(wt),
                                    atol=3e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Short-sequence fused kernel (ops/block_attention.py)
+# ---------------------------------------------------------------------------
+
+def test_block_attention_matches_xla(rng):
+    import jax.numpy as jnp
+
+    from mirage_tpu.ops.block_attention import _attn_xla, block_attention
+
+    for (b, n, h, d) in [(2, 257, 16, 1024), (3, 99, 12, 768), (1, 7, 4, 64)]:
+        qkv = jnp.asarray(rng.standard_normal((b, n, 3 * d)).astype(np.float32))
+        scale = (d // h) ** -0.5
+        got = block_attention(qkv, h, scale, interpret=True)
+        want = _attn_xla(qkv, h, scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_block_attention_backward_matches_xla(rng):
+    """The custom_vjp backward (XLA recompute) equals grad through the plain
+    XLA forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from mirage_tpu.ops.block_attention import (_attn_xla,
+                                                _block_attn_bwd_vjp)
+
+    b, n, h, d = 2, 33, 4, 64
+    scale = (d // h) ** -0.5
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * d)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+    want = jax.vjp(lambda t: _attn_xla(t, h, scale), qkv)[1](g)[0]
+    got = _block_attn_bwd_vjp(h, scale, (qkv,), g)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_attention_apply_dispatch_unchanged_on_cpu(rng):
+    """On CPU the block kernel is bypassed and attention_apply keeps its
+    reference numerics (impl dispatch parity guard)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mirage_tpu.nn.attention import attention_apply, attention_init
+
+    p = attention_init(jax.random.PRNGKey(0), 64, qkv_bias=True)
+    x = jnp.asarray(rng.standard_normal((2, 17, 64)).astype(np.float32))
+    auto = attention_apply(p, x, 4, impl="auto")
+    xla = attention_apply(p, x, 4, impl="xla")
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(xla), atol=1e-6)
