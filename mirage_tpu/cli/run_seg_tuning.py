@@ -65,6 +65,11 @@ def get_parser():
     p.add_argument("--weights", required=True, type=str)
     p.add_argument("--data_path", required=True, type=str)
     p.add_argument("--test_data_path", default=None, type=str)
+    p.add_argument("--external", default=None, type=str,
+                   help="name of an external test dataset: predictions go to "
+                        "preds_{external} for run_seg_eval --external "
+                        "(auto-detected for Duke_iAMD test paths, "
+                        "run_seg_tuning.py:428-439)")
     p.add_argument("--output_dir", default="./output/seg", type=str)
     p.add_argument("--version", default="v1", type=str)
     p.add_argument("--minmax", default=True, type=str2bool)
@@ -90,6 +95,12 @@ def process_args(args):
     args.eval_data_path = args.data_path / "val"
     if args.test and args.test_data_path is None:
         args.test_data_path = args.data_path / "test"
+    # Cross-dataset transfer eval (reference run_seg_tuning.py:428-431): a
+    # Duke_iAMD test path on an AROI-trained model exports to preds_Duke_iAMD
+    # so run_seg_eval --external can apply the AROI->Duke-iAMD translator.
+    if args.external is None and args.test and args.test_data_path is not None \
+            and "Duke_iAMD" in str(args.test_data_path):
+        args.external = "Duke_iAMD"
 
     # INFO.json: {"0": {"label": "background", "value": 0}, ...}
     info_path = args.data_path / "INFO.json"
@@ -233,7 +244,8 @@ def main(argv=None):
             str(args.test_data_path), args.all_domains, mapping=args.mapping,
             transform=val_tf)
 
-    preds_dir = Path(args.output_dir) / "preds"
+    preds_dir = Path(args.output_dir) / (
+        f"preds_{args.external}" if args.external else "preds")
     if (args.infer_only and args.test and dataset_test is not None
             and preds_dir.is_dir()
             and len(list(preds_dir.iterdir())) == len(dataset_test)):
