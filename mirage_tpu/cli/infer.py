@@ -23,8 +23,11 @@ apply_platform_env()
 
 def to_array(fn):
     """Reference to_tensor (mirage_wrapper.py:247-265): npy/png -> resized
-    float [0,1] (1,1,512,512) or int layermap (1,128,128)."""
-    from mirage_tpu.data.augment import resize_np
+    float [0,1] (1,1,512,512) or int layermap (1,128,128). Uses the exact
+    skimage.transform.resize semantics of the reference CLI (anti-aliased
+    order-1 for images, order-0 for layermaps) — NOT the torch-semantics
+    resizes used elsewhere."""
+    from mirage_tpu.data.augment import skimage_resize
     from mirage_tpu.data.folder import read_image
 
     fn = str(fn)
@@ -32,22 +35,23 @@ def to_array(fn):
     if img.ndim == 3:
         img = img[..., 0]
     if "layermap" in fn:
-        img = resize_np(img.astype(np.int64), (128, 128), mode="nearest")
+        img = skimage_resize(img, (128, 128), order=0, anti_aliasing=False)
         return img[None].astype(np.int32)
-    img = resize_np(img.astype(np.float32), (512, 512), mode="bilinear") / 255.0
+    img = skimage_resize(img, (512, 512), order=1, anti_aliasing=True) / 255.0
     return img[None, None].astype(np.float32)
 
 
 def save_image01(arr, path):
-    """(C, H, W) or (H, W) float in [0,1] -> PNG (torchvision save_image
-    clamps to [0,1])."""
+    """(C, H, W) or (H, W) float in [0,1] -> PNG with torchvision
+    save_image's exact quantization (mul 255, add 0.5, clamp, floor —
+    round-half-up, not truncation)."""
     from PIL import Image
 
-    arr = np.asarray(arr)
+    arr = np.asarray(arr, np.float32)
     if arr.ndim == 3:
         arr = arr[0]
-    arr = np.clip(arr, 0.0, 1.0)
-    Image.fromarray((arr * 255).astype(np.uint8)).save(path)
+    u8 = np.clip(arr * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
+    Image.fromarray(u8).save(path)
 
 
 def main(argv=None):

@@ -111,6 +111,34 @@ def _inverse_affine_matrix(center, angle, translate, scale, shear):
     return [0.0 if abs(v) < 1e-9 else v for v in m]
 
 
+def skimage_resize(img: np.ndarray, out_shape, order: int = 1,
+                   anti_aliasing: Optional[bool] = None) -> np.ndarray:
+    """Exact ``skimage.transform.resize(..., preserve_range=True)`` semantics
+    (the reference CLI's preprocessing, mirage_wrapper.py:255-261).
+
+    skimage delegates to scipy internally: an optional gaussian pre-filter
+    with sigma = max(0, (downscale_factor - 1) / 2) per axis (ndi mode
+    'mirror' == skimage 'reflect'), then ``ndi.zoom(..., grid_mode=True,
+    mode='mirror')`` — so this scipy-based replica reproduces it exactly.
+    Note these differ from the torch-semantics resizes in nn/resize:
+    anti-aliased downscales and round-based (not floor) nearest sampling.
+    """
+    from scipy import ndimage as ndi
+
+    img = np.asarray(img, np.float64)
+    out_shape = tuple(int(s) for s in out_shape)
+    factors = np.asarray(img.shape, np.float64) / np.asarray(out_shape, np.float64)
+    if anti_aliasing is None:
+        anti_aliasing = order != 0 and bool(np.any(factors > 1))
+    if anti_aliasing:
+        sigma = np.maximum(0.0, (factors - 1) / 2)
+        img = ndi.gaussian_filter(img, sigma, mode="mirror")
+    out = ndi.zoom(img, 1.0 / factors, order=order, mode="mirror",
+                   grid_mode=True)
+    assert out.shape == out_shape, (out.shape, out_shape)
+    return out
+
+
 def affine_warp(img: np.ndarray, angle: float, translate, scale: float, shear,
                 *, order: int = 1, fill: float = 0.0) -> np.ndarray:
     """Affine-warp the trailing (H, W) dims (torchvision TF.affine semantics:
