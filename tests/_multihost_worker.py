@@ -1,0 +1,79 @@
+"""Worker process for tests/test_multihost.py.
+
+One of two jax.distributed CPU processes (4 virtual devices each -> 8 global).
+Loads its per-host DataLoader stripe, assembles the logically-global batch via
+train.steps.shard_batch's process_count()>1 branch
+(make_array_from_process_local_data over DCN, SURVEY.md §2.5), runs ONE real
+train step on the 8-device global mesh, prints the loss.
+
+Importable without side effects (the test imports SynthRegression); the
+distributed setup only runs under __main__.
+"""
+
+import numpy as np
+
+
+class SynthRegression:
+    """16 deterministic (x, y) samples shared by every process."""
+
+    def __len__(self):
+        return 16
+
+    def __getitem__(self, item):
+        i, _rng = item if isinstance(item, tuple) else (item, None)
+        g = np.random.default_rng(1000 + int(i))
+        x = g.random((4,)).astype(np.float32)
+        y = np.float32(x.sum())
+        return {"x": x, "y": y}
+
+
+def main(port: str, pid: int):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=2, process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 8 and len(jax.local_devices()) == 4
+
+    import jax.numpy as jnp
+
+    from mirage_tpu.data.loader import DataLoader
+    from mirage_tpu.parallel.mesh import make_mesh
+    from mirage_tpu.train.optim import OptimizerConfig, create_optimizer
+    from mirage_tpu.train.steps import (init_train_state, make_train_step,
+                                        shard_batch, shard_state)
+
+    mesh = make_mesh()  # pure data parallelism over all 8 global devices
+    loader = DataLoader(SynthRegression(), batch_size=8, shuffle=False,
+                        num_workers=1, shard_index=pid, num_shards=2)
+    local = next(iter(loader))
+    assert local["x"].shape == (8, 4)  # this host's stripe of the 16 batch
+
+    opt = create_optimizer(OptimizerConfig(opt="adamw", weight_decay=0.0))
+    params = {"w": jnp.zeros((4,), jnp.float32)}
+
+    def loss_fn(p, batch, rng):
+        pred = batch["x"] @ p["w"]
+        return jnp.mean((pred - batch["y"]) ** 2), {}
+
+    step = make_train_step(loss_fn, opt)
+    state = shard_state(init_train_state(params, opt), mesh)
+    gbatch = shard_batch(local, mesh)  # process_count()>1 branch
+    assert gbatch["x"].shape == (16, 4)  # logically global
+    with mesh:
+        state, metrics = step(state, gbatch, jax.random.PRNGKey(0), 1e-2, 1.0)
+    print(f"LOSS {float(metrics['loss']):.8f}", flush=True)
+    w0 = float(np.asarray(jax.device_get(state["params"]["w"]))[0])
+    print(f"W0 {w0:.8f}", flush=True)
+
+
+if __name__ == "__main__":
+    import os
+    import sys
+
+    port, pid = sys.argv[1], int(sys.argv[2])
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main(port, pid)
