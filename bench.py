@@ -4,7 +4,9 @@
 Headline workload: MIRAGE-Large inference on the mirage_wrapper.py path
 (bscan present at 512²/p32; slo + 13-class layermap reconstructed by the
 three SpatialOutputAdapter decoders), bf16 compute and bf16-resident params,
-batch 48 (measured optimum on v5e: 32->457, 40->470, 48->485, 56->435, 64->428 img/s).
+batch 64 (measured optimum on v5e with the round-2 fused kernels:
+32->668, 48->693, 64->700, 96->686, 128->681 img/s; round-1 XLA-path
+optimum was batch 48 at 485).
 
 Timing: dispatches are chained through a scalar accumulator and synced once
 at the end — block_until_ready is a no-op on the tunneled axon platform and
@@ -25,7 +27,7 @@ import numpy as np
 
 
 A100_EST_IMG_PER_SEC = 890.0
-BATCH = 48
+BATCH = 64
 ITERS = 20
 
 
@@ -59,7 +61,8 @@ def main():
     @jax.jit
     def fwd(params, x, masks, acc):
         preds, _ = model(params, x, mask_inputs=False, task_masks=masks,
-                         num_visible=256, deterministic=True)
+                         num_visible=256, deterministic=True,
+                         absent_tasks=("slo", "bscanlayermap"))
         # scalar checksum chains the dispatches and forces full execution
         return acc + sum(jnp.sum(p.astype(jnp.float32)) for p in preds.values())
 

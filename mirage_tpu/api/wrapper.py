@@ -181,10 +181,12 @@ class MIRAGEWrapper:
 
         num_visible = sum(
             self.grid_size[d][0] * self.grid_size[d][1] for d in present)
+        absent = tuple(d for d in self.in_domains if d not in present)
 
         def fwd(params, x, masks):
             out = model(params, x, mask_inputs=False, task_masks=masks,
-                        num_visible=num_visible, deterministic=True)
+                        num_visible=num_visible, deterministic=True,
+                        absent_tasks=absent)
             return out[0]
 
         self._fwd_cache[key] = jax.jit(fwd)

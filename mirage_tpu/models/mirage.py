@@ -101,14 +101,27 @@ class MIRAGEModel:
 
     # -------------------------------------------------------------- forward
 
-    def embed_inputs(self, params, x: Mapping[str, jax.Array]):
-        tokens = {
-            domain: self.input_adapters[domain](
-                params["input_adapters"][domain], tensor,
-                compute_dtype=self.compute_dtype)
-            for domain, tensor in x.items()
-            if domain in self.input_adapters
-        }
+    def embed_inputs(self, params, x: Mapping[str, jax.Array],
+                     absent_tasks: Sequence[str] = ()):
+        """absent_tasks: modalities statically known to be fully masked
+        (wrapper inference zero-fills them). Their adapter outputs are never
+        selected by ids_keep and masked decoder positions use mask tokens,
+        not input embeddings — so skip the embedding compute entirely and
+        substitute zeros (saves the class-emb gather + patch projections of
+        reconstructed-only modalities)."""
+        tokens = {}
+        for domain, tensor in x.items():
+            if domain not in self.input_adapters:
+                continue
+            adapter = self.input_adapters[domain]
+            if domain in absent_tasks:
+                n = adapter.num_tokens((tensor.shape[-2], tensor.shape[-1]))
+                tokens[domain] = jnp.zeros(
+                    (tensor.shape[0], n, self.dim_tokens), self.compute_dtype)
+            else:
+                tokens[domain] = adapter(
+                    params["input_adapters"][domain], tensor,
+                    compute_dtype=self.compute_dtype)
         return tokens
 
     def __call__(
@@ -126,17 +139,23 @@ class MIRAGEModel:
         deterministic: bool = True,
         return_all_layers: bool = False,
         reshape: bool = False,
+        absent_tasks: Sequence[str] = (),
     ):
         """Masked pretraining forward (model.py:305-431).
 
+        absent_tasks: statically-known fully-masked modalities whose input
+        embeddings are skipped (only valid with explicit task_masks marking
+        them fully masked — the wrapper's zero-fill path).
         Returns (preds_dict, task_masks) when output adapters exist, else
         (encoder_tokens, task_masks).
         """
         if not isinstance(x, Mapping):
             x = {"bscan": x}
+        assert not absent_tasks or task_masks is not None, \
+            "absent_tasks requires explicit task_masks"
         input_info = self.generate_input_info(x)
         task_order = [d for d in x.keys() if d in self.input_adapters]
-        input_task_tokens = self.embed_inputs(params, x)
+        input_task_tokens = self.embed_inputs(params, x, absent_tasks)
         b = next(iter(input_task_tokens.values())).shape[0]
         num_tokens_per_task = [input_task_tokens[t].shape[1] for t in task_order]
 

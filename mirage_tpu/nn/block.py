@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from mirage_tpu.nn.attention import (
+    _on_tpu,
     attention_apply,
     attention_init,
     cross_attention_apply,
@@ -37,6 +38,13 @@ def block_apply(p, x, num_heads, *, impl="auto", drop=0.0, attn_drop=0.0,
     h = attention_apply(p["attn"], h, num_heads, impl=impl, attn_drop=attn_drop,
                         proj_drop=drop, deterministic=deterministic, rng=r[0])
     x = x + drop_path(h, drop_path_rate, deterministic=deterministic, rng=r[1])
+    if deterministic and impl in ("auto", "block") and _on_tpu():
+        # fused LN+MLP+residual half-block (ops/fused_mlp.py): keeps the
+        # (B*N, 4D) intermediates in VMEM. Inference path only — dropout /
+        # drop-path are identities under deterministic.
+        from mirage_tpu.ops.fused_mlp import mlp_block
+
+        return mlp_block(x, p["norm2"], p["mlp"])
     h = layer_norm(p["norm2"], x)
     h = mlp_apply(p["mlp"], h, dropout_rate=drop, deterministic=deterministic, rng=r[2])
     x = x + drop_path(h, drop_path_rate, deterministic=deterministic, rng=r[3])

@@ -216,3 +216,32 @@ def test_light_forward_features(reference_path, rng):
     tokens = our_model.forward_light(params, xj)
     np.testing.assert_allclose(np.asarray(tokens), ref_tokens.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+@requires_reference
+def test_absent_tasks_skip_matches_full_compute(reference_path, rng):
+    """absent_tasks (the wrapper's static fully-masked-modality shortcut)
+    must be a pure compute skip: outputs identical to embedding the
+    zero-filled modalities."""
+    our_model = build_our_model()
+    import jax
+
+    params = our_model.init_params(jax.random.PRNGKey(0))
+    x = {
+        "bscan": jnp.asarray(rng.random((1, 1, 512, 512)).astype(np.float32)),
+        "slo": jnp.zeros((1, 1, 512, 512), jnp.float32),
+        "bscanlayermap": jnp.zeros((1, 128, 128), jnp.int32),
+    }
+    masks = {
+        "bscan": jnp.zeros((1, 256), jnp.int32),
+        "slo": jnp.ones((1, 256), jnp.int32),
+        "bscanlayermap": jnp.ones((1, 256), jnp.int32),
+    }
+    full, _ = our_model(params, x, mask_inputs=False, task_masks=masks,
+                        num_visible=256)
+    skip, _ = our_model(params, x, mask_inputs=False, task_masks=masks,
+                        num_visible=256,
+                        absent_tasks=("slo", "bscanlayermap"))
+    for k in full:
+        np.testing.assert_allclose(np.asarray(skip[k]), np.asarray(full[k]),
+                                   atol=1e-6, err_msg=k)
