@@ -34,14 +34,24 @@ def block_apply(p, x, num_heads, *, impl="auto", drop=0.0, attn_drop=0.0,
     r = [None] * 4
     if rng is not None:
         r = list(jax.random.split(rng, 4))
+    fused_inference = (deterministic and impl in ("auto", "block")
+                       and x.shape[1] <= 512 and _on_tpu())
+    if fused_inference:
+        # each half-block is one Pallas kernel (ops/block_attention.py
+        # attn_half_block + ops/fused_mlp.py mlp_block): LN outputs, the
+        # (B,N,3D) qkv tensor, the pre-proj attention output and the
+        # (B,N,4D) MLP intermediates all stay in VMEM. Inference path only —
+        # dropout / drop-path are identities under deterministic.
+        from mirage_tpu.ops.block_attention import attn_half_block
+        from mirage_tpu.ops.fused_mlp import mlp_block
+
+        x = attn_half_block(x, p["norm1"], p["attn"], num_heads)
+        return mlp_block(x, p["norm2"], p["mlp"])
     h = layer_norm(p["norm1"], x)
     h = attention_apply(p["attn"], h, num_heads, impl=impl, attn_drop=attn_drop,
                         proj_drop=drop, deterministic=deterministic, rng=r[0])
     x = x + drop_path(h, drop_path_rate, deterministic=deterministic, rng=r[1])
     if deterministic and impl in ("auto", "block") and _on_tpu():
-        # fused LN+MLP+residual half-block (ops/fused_mlp.py): keeps the
-        # (B*N, 4D) intermediates in VMEM. Inference path only — dropout /
-        # drop-path are identities under deterministic.
         from mirage_tpu.ops.fused_mlp import mlp_block
 
         return mlp_block(x, p["norm2"], p["mlp"])

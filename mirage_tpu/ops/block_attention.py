@@ -27,9 +27,11 @@ VMEM per program at the flagship shape (N=257, D=1024): qkv 1.6 MB + out
 0.5 MB + scores 0.3 MB, double-buffered — comfortably inside the ~16 MB
 budget.
 
-Backward: custom_vjp recomputing attention per-head with XLA einsums from the
-saved qkv (at N<=512 the (N,N) probs are tiny; the matmuls dominate either
-way). This keeps the kernel usable inside jax.grad (pretraining at N=99).
+Backward: a matching Pallas kernel in the same packed layout (saves only the
+qkv; P is recomputed blockwise in VMEM, dQKV written back as one (B, N, 3D)
+tensor — the natural cotangent of the fused qkv projection). An earlier
+XLA-recompute backward regressed remat'd pretraining 632->583 img/s (remat
+re-runs the forward, so the recompute tripled the attention work).
 """
 
 import functools
@@ -88,6 +90,70 @@ def _block_attn_fwd(qkv, num_heads: int, scale: float, interpret: bool = False):
     )(qkv)
 
 
+def _block_attn_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int,
+                           dim: int, scale: float):
+    """dQKV in the same packed (N, 3D) layout, one batch element per program.
+    Standard attention backward with P recomputed in VMEM:
+      dP = dO Vᵀ; dS = P ∘ (dP − rowsum(P ∘ dP)) · scale
+      dQ = dS K; dK = dSᵀ Q; dV = Pᵀ dO
+    """
+    x = qkv_ref[0]
+    do = do_ref[0]
+    dh = dim // num_heads
+    for h in range(num_heads):
+        q = x[:, h * dh:(h + 1) * dh]
+        k = x[:, dim + h * dh:dim + (h + 1) * dh]
+        v = x[:, 2 * dim + h * dh:2 * dim + (h + 1) * dh]
+        do_h = do[:, h * dh:(h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = s * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        dp = jax.lax.dot_general(
+            do_h, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = (p * (dp - delta) * scale).astype(x.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(
+            p.astype(do_h.dtype), do_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dqkv_ref[0, :, h * dh:(h + 1) * dh] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, dim + h * dh:dim + (h + 1) * dh] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * dim + h * dh:2 * dim + (h + 1) * dh] = \
+            dv.astype(dqkv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
+def _block_attn_bwd(qkv, do, num_heads: int, scale: float,
+                    interpret: bool = False):
+    b, n, three_d = qkv.shape
+    dim = three_d // 3
+    kernel = functools.partial(_block_attn_bwd_kernel, num_heads=num_heads,
+                               dim=dim, scale=scale)
+    kwargs = {}
+    if _HAVE_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, three_d), qkv.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, three_d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n, three_d), lambda i: (i, 0, 0)),
+        interpret=interpret,
+        **kwargs,
+    )(qkv, do)
+
+
 def _attn_xla(qkv, num_heads: int, scale: float):
     """Reference path on the same (B, N, 3D) layout (used for the backward
     recompute and as the CPU fallback)."""
@@ -116,11 +182,134 @@ def _block_attn_fwd_vjp(qkv, num_heads, scale):
 
 def _block_attn_bwd_vjp(num_heads, scale, res, g):
     (qkv,) = res
-    _, vjp = jax.vjp(lambda t: _attn_xla(t, num_heads, scale), qkv)
-    return vjp(g)
+    return (_block_attn_bwd(qkv, g, num_heads, scale),)
 
 
 _block_attn.defvjp(_block_attn_fwd_vjp, _block_attn_bwd_vjp)
+
+
+# ---------------------------------------------------------------------------
+# Whole first half of a transformer block (inference):
+#   out = x + proj(attention(qkv(LN1(x))))
+# One grid program per batch element; Wqkv/Wproj VMEM-resident across the
+# grid. Removes the remaining HBM round-trips of the attention half: the LN
+# output, the (B, N, 3D) qkv tensor, and the pre-proj attention output never
+# leave VMEM.
+# ---------------------------------------------------------------------------
+
+def _attn_half_kernel(x_ref, g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
+                      bp_ref, o_ref, attn_scratch, *, num_heads: int,
+                      dim: int, scale: float):
+    x = x_ref[0]
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-6)
+    y = y * g_ref[...].astype(jnp.float32) + be_ref[...].astype(jnp.float32)
+    y = y.astype(x.dtype)
+    qkv = jax.lax.dot_general(
+        y, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(x.dtype)
+    dh = dim // num_heads
+    for h in range(num_heads):
+        q = qkv[:, h * dh:(h + 1) * dh]
+        k = qkv[:, dim + h * dh:dim + (h + 1) * dh]
+        v = qkv[:, 2 * dim + h * dh:2 * dim + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = s * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        attn_scratch[:, h * dh:(h + 1) * dh] = (o / l).astype(x.dtype)
+    out = jax.lax.dot_general(
+        attn_scratch[...], wp_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out = out + bp_ref[...].astype(jnp.float32)
+    o_ref[0] = x + out.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
+def _attn_half_fwd(x, gamma, beta, wqkv, bqkv, wproj, bproj, num_heads: int,
+                   scale: float, interpret: bool = False):
+    b, n, d = x.shape
+    kernel = functools.partial(_attn_half_kernel, num_heads=num_heads,
+                               dim=d, scale=scale)
+    kwargs = {}
+    if not _HAVE_PLTPU:  # pragma: no cover — gated to TPU/interpret paths
+        raise RuntimeError("attn_half_block requires pallas TPU support")
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024)
+    scratch = [pltpu.VMEM((n, d), x.dtype)]
+    wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0)),
+            wspec((1, d)), wspec((1, d)),
+            wspec((d, 3 * d)), wspec((1, 3 * d)),
+            wspec((d, d)), wspec((1, d)),
+        ],
+        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0)),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **kwargs,
+    )(x, gamma.reshape(1, d), beta.reshape(1, d), wqkv, bqkv.reshape(1, 3 * d),
+      wproj, bproj.reshape(1, d))
+
+
+def _attn_half_xla(x, gamma, beta, wqkv, bqkv, wproj, bproj, num_heads, scale):
+    from mirage_tpu.nn.layers import layer_norm
+
+    y = layer_norm({"scale": gamma, "bias": beta}, x)
+    qkv = y @ wqkv.astype(y.dtype) + bqkv.astype(y.dtype)
+    o = _attn_xla(qkv, num_heads, scale)
+    return x + (o @ wproj.astype(o.dtype) + bproj.astype(o.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _attn_half(x, gamma, beta, wqkv, bqkv, wproj, bproj, num_heads, scale):
+    return _attn_half_fwd(x, gamma, beta, wqkv, bqkv, wproj, bproj,
+                          num_heads, scale)
+
+
+def _attn_half_fwd_vjp(x, gamma, beta, wqkv, bqkv, wproj, bproj, num_heads,
+                       scale):
+    res = (x, gamma, beta, wqkv, bqkv, wproj, bproj)
+    return _attn_half_fwd(*res, num_heads, scale), res
+
+
+def _attn_half_bwd_vjp(num_heads, scale, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _attn_half_xla(*a, num_heads, scale), *res)
+    return vjp(g)
+
+
+_attn_half.defvjp(_attn_half_fwd_vjp, _attn_half_bwd_vjp)
+
+
+def attn_half_block(x, norm1, attn, num_heads: int, interpret: bool = False):
+    """Fused x + proj(SDPA(qkv(LN(x)))) over pytree params
+    ({'scale','bias'}, {'qkv','proj'}); mirage/utils.py:251-257 semantics.
+    Inference path (backward recomputes via XLA)."""
+    d = x.shape[-1]
+    scale = (d // num_heads) ** -0.5
+    bqkv = attn["qkv"].get("b")
+    if bqkv is None:
+        bqkv = jnp.zeros((3 * d,), x.dtype)
+    args = (x, norm1["scale"], norm1["bias"], attn["qkv"]["w"], bqkv,
+            attn["proj"]["w"], attn["proj"]["b"])
+    if interpret:
+        return _attn_half_fwd(*args, num_heads, scale, interpret=True)
+    return _attn_half(*args, num_heads, scale)
 
 
 def block_attention(qkv, num_heads: int, scale: float, interpret: bool = False):

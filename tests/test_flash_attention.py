@@ -128,21 +128,21 @@ def test_block_attention_matches_xla(rng):
 
 
 def test_block_attention_backward_matches_xla(rng):
-    """The custom_vjp backward (XLA recompute) equals grad through the plain
-    XLA forward."""
+    """The Pallas backward kernel (interpret mode) equals grad through the
+    plain XLA forward."""
     import jax
     import jax.numpy as jnp
 
-    from mirage_tpu.ops.block_attention import (_attn_xla,
-                                                _block_attn_bwd_vjp)
+    from mirage_tpu.ops.block_attention import _attn_xla, _block_attn_bwd
 
-    b, n, h, d = 2, 33, 4, 64
-    scale = (d // h) ** -0.5
-    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * d)).astype(np.float32))
-    g = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
-    want = jax.vjp(lambda t: _attn_xla(t, h, scale), qkv)[1](g)[0]
-    got = _block_attn_bwd_vjp(h, scale, (qkv,), g)[0]
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    for (b, n, h, d) in [(2, 33, 4, 64), (2, 99, 12, 768)]:
+        scale = (d // h) ** -0.5
+        qkv = jnp.asarray(rng.standard_normal((b, n, 3 * d)).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+        want = jax.vjp(lambda t: _attn_xla(t, h, scale), qkv)[1](g)[0]
+        got = _block_attn_bwd(qkv, g, h, scale, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
 
 
 def test_attention_apply_dispatch_unchanged_on_cpu(rng):
