@@ -51,7 +51,11 @@ def encoder_apply(
 ):
     """Run the block stack. If `return_layers` is given, returns
     (final_tokens, {layer_idx: tokens}) using an unrolled loop (needed by the
-    DPT head's feature hooks); otherwise a single fused scan."""
+    DPT head's feature hooks); otherwise a single fused scan. (An unrolled
+    deterministic-inference path was measured SLOWER than the scan on v5e —
+    the scan's dynamic weight-slice copies feeding the Pallas custom calls
+    overlap with compute, and the while-loop keeps activations VMEM-resident.)
+    """
     if return_layers is not None:
         outs = {}
         dpr = drop_path_rates(drop_path_rate, depth)
