@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from mirage_tpu.nn import init as vinit
-from mirage_tpu.nn.attention import cross_attention_apply, cross_attention_init
+from mirage_tpu.nn.attention import _on_tpu, cross_attention_apply, cross_attention_init
 from mirage_tpu.nn.block import block_apply, block_init
 from mirage_tpu.nn.layers import layer_norm, layer_norm_init, linear, mlp_apply, mlp_init
 from mirage_tpu.nn.posemb import build_2d_sincos_posemb
@@ -125,8 +125,13 @@ class SpatialOutputAdapter:
         return jnp.concatenate(chunks, axis=1)
 
     def __call__(self, params, encoder_tokens, input_info, ids_keep, ids_restore,
-                 *, deterministic=True, rng=None, impl="auto"):
-        """encoder_tokens: (B, E+G, D_enc); returns (B, C, H, W)."""
+                 *, deterministic=True, rng=None, impl="auto", absent_tasks=()):
+        """encoder_tokens: (B, E+G, D_enc); returns (B, C, H, W).
+
+        When ids_keep/ids_restore are None (static-layout fast path), the
+        visible encoder tokens are the non-absent tasks' chunks in task
+        order, so the mask-token unshuffle and visible-context gathers reduce
+        to per-task concat/slice (no take_along_axis)."""
         b = encoder_tokens.shape[0]
         h, w = input_info["tasks"][self.task]["image_size"]
         ph, pw = self.patch_hw
@@ -142,13 +147,27 @@ class SpatialOutputAdapter:
             context_no_global = context
 
         # Re-insert mask tokens and unshuffle to original order
-        n_total = input_info["num_task_tokens"]
-        n_masked = n_total - context_no_global.shape[1]
-        mask_tokens = jnp.broadcast_to(params["mask_token"].astype(dtype),
-                                       (b, n_masked, self.dim_tokens))
-        context_with_mask = jnp.concatenate([context_no_global, mask_tokens], axis=1)
-        context_with_mask = jnp.take_along_axis(
-            context_with_mask, ids_restore[..., None], axis=1)
+        if ids_restore is None:
+            chunks, off = [], 0
+            for task, info in input_info["tasks"].items():
+                n = info["num_tokens"]
+                if task in absent_tasks:
+                    chunks.append(jnp.broadcast_to(
+                        params["mask_token"].astype(dtype),
+                        (b, n, self.dim_tokens)))
+                else:
+                    chunks.append(context_no_global[:, off:off + n])
+                    off += n
+            context_with_mask = jnp.concatenate(chunks, axis=1)
+        else:
+            n_total = input_info["num_task_tokens"]
+            n_masked = n_total - context_no_global.shape[1]
+            mask_tokens = jnp.broadcast_to(params["mask_token"].astype(dtype),
+                                           (b, n_masked, self.dim_tokens))
+            context_with_mask = jnp.concatenate(
+                [context_no_global, mask_tokens], axis=1)
+            context_with_mask = jnp.take_along_axis(
+                context_with_mask, ids_restore[..., None], axis=1)
 
         context_with_mask = context_with_mask + self._context_embeddings(
             params, input_info, b, (nh, nw), dtype)
@@ -167,17 +186,40 @@ class SpatialOutputAdapter:
                 queries = queries + task_embs[self.task].astype(dtype)
 
         # Keep only the visible context tokens (+ global) for cross-attention
-        context_vis = jnp.take_along_axis(context_with_mask, ids_keep[..., None], axis=1)
+        if ids_keep is None:
+            context_vis = jnp.concatenate(
+                [context_with_mask[:, info["start_idx"]:info["end_idx"]]
+                 for task, info in input_info["tasks"].items()
+                 if task not in absent_tasks], axis=1)
+        else:
+            context_vis = jnp.take_along_axis(
+                context_with_mask, ids_keep[..., None], axis=1)
         if num_global:
             context_vis = jnp.concatenate([context_vis, context[:, -num_global:]], axis=1)
 
         if self.use_xattn:
-            x = cross_attention_apply(
-                params["decoder"], layer_norm(params["query_norm"], queries),
-                layer_norm(params["context_norm"], context_vis), self.num_heads,
-                impl=impl, deterministic=deterministic, rng=rng)
-            x = x + mlp_apply(params["mlp"], layer_norm(params["out_norm"], x),
-                              deterministic=deterministic)
+            fused = (deterministic and impl in ("auto", "block")
+                     and queries.shape[1] <= 512 and context_vis.shape[1] <= 512
+                     and _on_tpu())
+            if fused:
+                # Each half is one Pallas kernel: LNs, q/kv projections, the
+                # (H, Nq, Nc) probabilities and the MLP intermediates never
+                # touch HBM (ops/block_attention.py xattn_half_block +
+                # ops/fused_mlp.py mlp_block).
+                from mirage_tpu.ops.block_attention import xattn_half_block
+                from mirage_tpu.ops.fused_mlp import mlp_block
+
+                x = xattn_half_block(queries, params["query_norm"],
+                                     params["context_norm"], params["decoder"],
+                                     context_vis, self.num_heads)
+                x = mlp_block(x, params["out_norm"], params["mlp"])
+            else:
+                x = cross_attention_apply(
+                    params["decoder"], layer_norm(params["query_norm"], queries),
+                    layer_norm(params["context_norm"], context_vis), self.num_heads,
+                    impl=impl, deterministic=deterministic, rng=rng)
+                x = x + mlp_apply(params["mlp"], layer_norm(params["out_norm"], x),
+                                  deterministic=deterministic)
         else:
             x = queries
 

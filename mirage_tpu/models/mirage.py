@@ -177,11 +177,34 @@ class MIRAGEModel:
             # statically via `num_visible` (the wrapper derives it from which
             # modalities are present) to keep shapes jit-stable.
             enc_rng = rng
-            ids_keep, ids_restore = masks_to_indices(
-                task_masks, task_order, num_visible if num_visible is not None else num_encoded)
+            if absent_tasks:
+                # Static-layout fast path (the wrapper zero-fill contract:
+                # absent tasks fully masked, all other tasks fully visible).
+                # The shuffle/keep/restore permutations are compile-time
+                # constants — the stable argsort of a constant mask keeps
+                # present tasks' tokens in task order — so the concat+gather
+                # below reduces to slicing, and the decoders rebuild the full
+                # sequence by per-task concat (no unshuffle gathers).
+                ids_keep = ids_restore = None
+            else:
+                ids_keep, ids_restore = masks_to_indices(
+                    task_masks, task_order,
+                    num_visible if num_visible is not None else num_encoded)
 
-        input_tokens = jnp.concatenate([input_task_tokens[t] for t in task_order], axis=1)
-        input_tokens = jnp.take_along_axis(input_tokens, ids_keep[..., None], axis=1)
+        if ids_restore is None:
+            present = [t for t in task_order if t not in absent_tasks]
+            n_vis = sum(input_task_tokens[t].shape[1] for t in present)
+            assert num_visible is None or num_visible == n_vis, (
+                f"num_visible ({num_visible}) != visible tokens of present "
+                f"tasks ({n_vis}) — absent_tasks requires fully-visible "
+                f"present modalities")
+            input_tokens = jnp.concatenate(
+                [input_task_tokens[t] for t in present], axis=1)
+        else:
+            input_tokens = jnp.concatenate(
+                [input_task_tokens[t] for t in task_order], axis=1)
+            input_tokens = jnp.take_along_axis(
+                input_tokens, ids_keep[..., None], axis=1)
 
         global_tokens = jnp.broadcast_to(
             params["global_tokens"].astype(input_tokens.dtype),
@@ -224,7 +247,8 @@ class MIRAGEModel:
             preds[domain] = adapter(
                 params["output_adapters"][domain], encoder_tokens, input_info,
                 ids_keep, ids_restore, deterministic=deterministic,
-                rng=None if dec_rng is None else dec_rng[j], impl=self.attn_impl)
+                rng=None if dec_rng is None else dec_rng[j], impl=self.attn_impl,
+                absent_tasks=absent_tasks)
         return preds, task_masks
 
     # ---------------------------------------------------------- light path

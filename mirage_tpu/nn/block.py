@@ -42,6 +42,10 @@ def block_apply(p, x, num_heads, *, impl="auto", drop=0.0, attn_drop=0.0,
         # (B,N,3D) qkv tensor, the pre-proj attention output and the
         # (B,N,4D) MLP intermediates all stay in VMEM. Inference path only —
         # dropout / drop-path are identities under deterministic.
+        # (Merging both halves into ONE kernel — ops/fused_block.py — was
+        # measured SLOWER at the flagship shape: 866 -> 821 img/s; the
+        # intermediate HBM round-trip is fully hidden by Mosaic's grid
+        # pipelining, and the merged body schedules worse.)
         from mirage_tpu.ops.block_attention import attn_half_block
         from mirage_tpu.ops.fused_mlp import mlp_block
 

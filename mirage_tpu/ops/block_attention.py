@@ -208,51 +208,65 @@ _block_attn.defvjp(_block_attn_fwd_vjp, _block_attn_bwd_vjp)
 
 def _attn_half_kernel(x_ref, g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
                       bp_ref, o_ref, attn_scratch, s_scratch, *,
-                      num_heads: int, dim: int, scale: float):
-    x = x_ref[0]
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-6)
-    y = y * g_ref[...].astype(jnp.float32) + be_ref[...].astype(jnp.float32)
-    y = y.astype(x.dtype)
-    qkv = jax.lax.dot_general(
-        y, wqkv_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(x.dtype)
+                      num_heads: int, dim: int, scale: float, elems: int = 1):
     dh = dim // num_heads
-    # 3 phases (measured 10% faster than interleaving per head: batches the
-    # VPU softmax into one big op instead of H MXU<->VPU ping-pongs)
-    for h in range(num_heads):  # phase 1: all score matmuls
-        q = qkv[:, h * dh:(h + 1) * dh]
-        k = qkv[:, dim + h * dh:dim + (h + 1) * dh]
-        s_scratch[h] = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-    s = s_scratch[...]  # phase 2: one softmax over all heads (unnormalized)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    l = jnp.sum(e, axis=-1, keepdims=True)
-    s_scratch[...] = e
-    for h in range(num_heads):  # phase 3: all PV matmuls, normalized outputs
-        v = qkv[:, 2 * dim + h * dh:2 * dim + (h + 1) * dh]
-        o = jax.lax.dot_general(
-            s_scratch[h].astype(x.dtype), v, (((1,), (0,)), ((), ())),
+    for ei in range(elems):  # small-dim shapes amortize per-program overhead
+        x = x_ref[ei]
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + 1e-6)
+        y = y * g_ref[...].astype(jnp.float32) + be_ref[...].astype(jnp.float32)
+        y = y.astype(x.dtype)
+        qkv = jax.lax.dot_general(
+            y, wqkv_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        attn_scratch[:, h * dh:(h + 1) * dh] = (o / l[h]).astype(x.dtype)
-    out = jax.lax.dot_general(
-        attn_scratch[...], wp_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    out = out + bp_ref[...].astype(jnp.float32)
-    o_ref[0] = x + out.astype(x.dtype)
+        qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(x.dtype)
+        # 3 phases (measured 10% faster than interleaving per head: batches
+        # the VPU softmax into one big op instead of H MXU<->VPU ping-pongs)
+        for h in range(num_heads):  # phase 1: all score matmuls
+            q = qkv[:, h * dh:(h + 1) * dh]
+            k = qkv[:, dim + h * dh:dim + (h + 1) * dh]
+            s_scratch[h] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+        s = s_scratch[...]  # phase 2: one softmax over all heads (unnormalized)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        s_scratch[...] = e
+        for h in range(num_heads):  # phase 3: all PV matmuls, normalized
+            v = qkv[:, 2 * dim + h * dh:2 * dim + (h + 1) * dh]
+            o = jax.lax.dot_general(
+                s_scratch[h].astype(x.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            attn_scratch[:, h * dh:(h + 1) * dh] = (o / l[h]).astype(x.dtype)
+        out = jax.lax.dot_general(
+            attn_scratch[...], wp_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = out + bp_ref[...].astype(jnp.float32)
+        o_ref[ei] = x + out.astype(x.dtype)
+
+
+def _pick_elems(b: int, d: int) -> int:
+    """Batch elements per grid program. Small-dim decoder shapes (D<=512)
+    are per-program-overhead-bound, so loop several elements per program;
+    the large encoder shapes stay at 1 (compute-bound already)."""
+    if d > 512:
+        return 1
+    for e in (4, 2):
+        if b % e == 0:
+            return e
+    return 1
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
 def _attn_half_fwd(x, gamma, beta, wqkv, bqkv, wproj, bproj, num_heads: int,
                    scale: float, interpret: bool = False):
     b, n, d = x.shape
+    elems = _pick_elems(b, d)
     kernel = functools.partial(_attn_half_kernel, num_heads=num_heads,
-                               dim=d, scale=scale)
+                               dim=d, scale=scale, elems=elems)
     kwargs = {}
     if not _HAVE_PLTPU:  # pragma: no cover — gated to TPU/interpret paths
         raise RuntimeError("attn_half_block requires pallas TPU support")
@@ -266,14 +280,14 @@ def _attn_half_fwd(x, gamma, beta, wqkv, bqkv, wproj, bproj, num_heads: int,
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
-        grid=(b,),
+        grid=(b // elems,),
         in_specs=[
-            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((elems, n, d), lambda i: (i, 0, 0)),
             wspec((1, d)), wspec((1, d)),
             wspec((d, 3 * d)), wspec((1, 3 * d)),
             wspec((d, d)), wspec((1, d)),
         ],
-        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((elems, n, d), lambda i: (i, 0, 0)),
         scratch_shapes=scratch,
         interpret=interpret,
         **kwargs,
@@ -325,6 +339,156 @@ def attn_half_block(x, norm1, attn, num_heads: int, interpret: bool = False):
     if interpret:
         return _attn_half_fwd(*args, num_heads, scale, interpret=True)
     return _attn_half(*args, num_heads, scale)
+
+
+# ---------------------------------------------------------------------------
+# Fused cross-attention half-block (decoder xattn, output_adapters.py:277-281):
+#   out = x + proj(SDPA(q(LN_q(x)), kv(LN_ctx(context))))
+# One grid program per batch element, all heads in VMEM. Covers the
+# SpatialOutputAdapter decoders (Nq=256 queries, Nc=257 visible context,
+# D=256, 8 heads) where the XLA path burns ~1.8 ms/step on softmax/PV
+# fusions at ~25% MFU (round-2 trace).
+# ---------------------------------------------------------------------------
+
+def _xattn_half_kernel(x_ref, ctx_ref, gq_ref, bq_ref, gc_ref, bc_ref,
+                       wq_ref, bwq_ref, wkv_ref, bwkv_ref, wp_ref, bp_ref,
+                       o_ref, attn_scratch, s_scratch, *, num_heads: int,
+                       dim: int, scale: float, elems: int = 1):
+    def ln(t, g_ref, b_ref):
+        t32 = t.astype(jnp.float32)
+        mean = jnp.mean(t32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(t32 - mean), axis=-1, keepdims=True)
+        y = (t32 - mean) * jax.lax.rsqrt(var + 1e-6)
+        return (y * g_ref[...].astype(jnp.float32)
+                + b_ref[...].astype(jnp.float32)).astype(t.dtype)
+
+    dh = dim // num_heads
+    for ei in range(elems):
+        x = x_ref[ei]
+        ctx = ctx_ref[ei]
+        q = jax.lax.dot_general(
+            ln(x, gq_ref, bq_ref), wq_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        q = (q + bwq_ref[...].astype(jnp.float32)).astype(x.dtype)
+        kv = jax.lax.dot_general(
+            ln(ctx, gc_ref, bc_ref), wkv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        kv = (kv + bwkv_ref[...].astype(jnp.float32)).astype(x.dtype)
+        for h in range(num_heads):  # phase 1: all score matmuls
+            s_scratch[h] = jax.lax.dot_general(
+                q[:, h * dh:(h + 1) * dh], kv[:, h * dh:(h + 1) * dh],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+        s = s_scratch[...]  # phase 2: one softmax over all heads
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        s_scratch[...] = e
+        for h in range(num_heads):  # phase 3: all PV matmuls
+            v = kv[:, dim + h * dh:dim + (h + 1) * dh]
+            o = jax.lax.dot_general(
+                s_scratch[h].astype(x.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            attn_scratch[:, h * dh:(h + 1) * dh] = (o / l[h]).astype(x.dtype)
+        out = jax.lax.dot_general(
+            attn_scratch[...], wp_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = out + bp_ref[...].astype(jnp.float32)
+        o_ref[ei] = x + out.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
+def _xattn_half_fwd(x, ctx, gq, bq, gc, bc, wq, bwq, wkv, bwkv, wproj, bproj,
+                    num_heads: int, scale: float, interpret: bool = False):
+    b, nq, d = x.shape
+    nc = ctx.shape[1]
+    elems = _pick_elems(b, d)
+    kernel = functools.partial(_xattn_half_kernel, num_heads=num_heads,
+                               dim=d, scale=scale, elems=elems)
+    kwargs = {}
+    if not _HAVE_PLTPU:  # pragma: no cover — gated to TPU/interpret paths
+        raise RuntimeError("xattn_half_block requires pallas TPU support")
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024)
+    wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, nq, d), x.dtype),
+        grid=(b // elems,),
+        in_specs=[
+            pl.BlockSpec((elems, nq, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((elems, nc, d), lambda i: (i, 0, 0)),
+            wspec((1, d)), wspec((1, d)), wspec((1, d)), wspec((1, d)),
+            wspec((d, d)), wspec((1, d)),
+            wspec((d, 2 * d)), wspec((1, 2 * d)),
+            wspec((d, d)), wspec((1, d)),
+        ],
+        out_specs=pl.BlockSpec((elems, nq, d), lambda i: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((nq, d), x.dtype),
+                        pltpu.VMEM((num_heads, nq, nc), jnp.float32)],
+        interpret=interpret,
+        **kwargs,
+    )(x, ctx, gq.reshape(1, d), bq.reshape(1, d), gc.reshape(1, d),
+      bc.reshape(1, d), wq, bwq.reshape(1, d), wkv, bwkv.reshape(1, 2 * d),
+      wproj, bproj.reshape(1, d))
+
+
+def _xattn_half_xla(x, ctx, gq, bq, gc, bc, wq, bwq, wkv, bwkv, wproj, bproj,
+                    num_heads, scale):
+    from mirage_tpu.nn.attention import cross_attention_apply
+    from mirage_tpu.nn.layers import layer_norm
+
+    p = {"q": {"w": wq, "b": bwq}, "kv": {"w": wkv, "b": bwkv},
+         "proj": {"w": wproj, "b": bproj}}
+    out = cross_attention_apply(
+        p, layer_norm({"scale": gq, "bias": bq}, x),
+        layer_norm({"scale": gc, "bias": bc}, ctx), num_heads, impl="xla")
+    return x + out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13))
+def _xattn_half(x, ctx, gq, bq, gc, bc, wq, bwq, wkv, bwkv, wproj, bproj,
+                num_heads, scale):
+    return _xattn_half_fwd(x, ctx, gq, bq, gc, bc, wq, bwq, wkv, bwkv,
+                           wproj, bproj, num_heads, scale)
+
+
+def _xattn_half_fwd_vjp(x, ctx, gq, bq, gc, bc, wq, bwq, wkv, bwkv, wproj,
+                        bproj, num_heads, scale):
+    res = (x, ctx, gq, bq, gc, bc, wq, bwq, wkv, bwkv, wproj, bproj)
+    return _xattn_half_fwd(*res, num_heads, scale), res
+
+
+def _xattn_half_bwd_vjp(num_heads, scale, res, g):
+    _, vjp = jax.vjp(lambda *a: _xattn_half_xla(*a, num_heads, scale), *res)
+    return vjp(g)
+
+
+_xattn_half.defvjp(_xattn_half_fwd_vjp, _xattn_half_bwd_vjp)
+
+
+def xattn_half_block(x, query_norm, context_norm, cross, context,
+                     num_heads: int, interpret: bool = False):
+    """Fused x + proj(SDPA(q(LN(x)), kv(LN(context)))) over pytree params
+    ({'scale','bias'} x2, {'q','kv','proj'}); output_adapters.py:277-281
+    semantics. Inference path (backward recomputes via XLA)."""
+    d = x.shape[-1]
+    scale = (d // num_heads) ** -0.5
+    bwq = cross["q"].get("b")
+    if bwq is None:
+        bwq = jnp.zeros((d,), x.dtype)
+    bwkv = cross["kv"].get("b")
+    if bwkv is None:
+        bwkv = jnp.zeros((2 * d,), x.dtype)
+    args = (x, context, query_norm["scale"], query_norm["bias"],
+            context_norm["scale"], context_norm["bias"],
+            cross["q"]["w"], bwq, cross["kv"]["w"], bwkv,
+            cross["proj"]["w"], cross["proj"]["b"])
+    if interpret:
+        return _xattn_half_fwd(*args, num_heads, scale, interpret=True)
+    return _xattn_half(*args, num_heads, scale)
 
 
 def block_attention(qkv, num_heads: int, scale: float, interpret: bool = False):

@@ -93,10 +93,20 @@ def _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, block_rows: int = 512,
                              (hdim, d), (1, d))]
     flat = (gamma.reshape(1, d), beta.reshape(1, d), w1, b1.reshape(1, hdim),
             w2, b2.reshape(1, d))
+    if x.ndim == 3 and x.shape[1] % 16 == 0:
+        # Tile-aligned token counts (e.g. the 256-query decoders): the
+        # flatten is a free bitcast in the (8,128)/(16,128) tiled layout, so
+        # the row-blocked 2-D grid (bigger programs, less per-program
+        # overhead) beats one-program-per-batch-element.
+        b, n, _ = x.shape
+        return _mlp_block_fwd(x.reshape(b * n, d), gamma, beta, w1, b1, w2,
+                              b2, block_rows=block_rows,
+                              interpret=interpret).reshape(b, n, d)
     if x.ndim == 3:
-        # keep the operand 3-D: a flatten outside the kernel forces XLA to
-        # copy VMEM-resident loop activations to HBM and back around the
-        # custom call (measured 3.2 ms/step at the flagship shape)
+        # keep the unaligned operand 3-D: a flatten outside the kernel forces
+        # XLA to copy VMEM-resident loop activations to HBM and back around
+        # the custom call (measured 3.2 ms/step at the flagship 257-token
+        # shape, whose rows are not tile-aligned)
         b, n, _ = x.shape
         out = pl.pallas_call(
             _mlp_kernel,

@@ -158,3 +158,48 @@ def test_attention_apply_dispatch_unchanged_on_cpu(rng):
     auto = attention_apply(p, x, 4, impl="auto")
     xla = attention_apply(p, x, 4, impl="xla")
     np.testing.assert_allclose(np.asarray(auto), np.asarray(xla), atol=1e-6)
+
+
+def test_xattn_half_block_matches_xla(rng):
+    """Fused cross-attention half-block kernel (interpret mode) vs the plain
+    XLA decoder path (LN_q/LN_ctx + q/kv proj + SDPA + out proj + residual)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mirage_tpu.nn.attention import cross_attention_init
+    from mirage_tpu.nn.layers import layer_norm_init
+    from mirage_tpu.ops.block_attention import _xattn_half_xla, xattn_half_block
+
+    for (b, nq, nc, h, d) in [(2, 256, 257, 8, 256), (1, 13, 29, 4, 64)]:
+        cross = cross_attention_init(jax.random.PRNGKey(1), d, qkv_bias=True)
+        qn = layer_norm_init(d)
+        cn = layer_norm_init(d)
+        qn = {"scale": qn["scale"] + 0.1, "bias": qn["bias"] + 0.05}
+        cn = {"scale": cn["scale"] - 0.1, "bias": cn["bias"] - 0.02}
+        x = jnp.asarray(rng.standard_normal((b, nq, d)).astype(np.float32))
+        ctx = jnp.asarray(rng.standard_normal((b, nc, d)).astype(np.float32))
+        got = xattn_half_block(x, qn, cn, cross, ctx, h, interpret=True)
+        want = _xattn_half_xla(
+            x, ctx, qn["scale"], qn["bias"], cn["scale"], cn["bias"],
+            cross["q"]["w"], cross["q"]["b"], cross["kv"]["w"],
+            cross["kv"]["b"], cross["proj"]["w"], cross["proj"]["b"],
+            h, (d // h) ** -0.5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=1e-4)
+
+
+def test_fused_block_matches_xla(rng):
+    """Whole-block fused kernel (interpret mode) vs the XLA block path."""
+    import jax
+    import jax.numpy as jnp
+
+    from mirage_tpu.nn.block import block_apply, block_init
+    from mirage_tpu.ops.fused_block import fused_block
+
+    for (b, n, h, d) in [(2, 33, 4, 64), (1, 257, 8, 128)]:
+        p = block_init(jax.random.PRNGKey(0), d, qkv_bias=True)
+        x = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+        got = fused_block(x, p, h, interpret=True)
+        want = block_apply(p, x, h, impl="xla")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=1e-4)
