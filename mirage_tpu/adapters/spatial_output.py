@@ -16,6 +16,7 @@ from typing import Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
+from mirage_tpu.masking.masking import onehot_gather_rows, onehot_scatter_rows
 from mirage_tpu.nn import init as vinit
 from mirage_tpu.nn.attention import _on_tpu, cross_attention_apply, cross_attention_init
 from mirage_tpu.nn.block import block_apply, block_init
@@ -160,14 +161,15 @@ class SpatialOutputAdapter:
                     off += n
             context_with_mask = jnp.concatenate(chunks, axis=1)
         else:
+            # One-hot scatter instead of the reference's concat + ids_restore
+            # gather (output_adapters.py:202-206): row j of the visible
+            # context belongs at original position ids_keep[b, j]; a TPU row
+            # gather over the token axis degenerates to scalar loads
+            # (masking.onehot_scatter_rows docstring).
             n_total = input_info["num_task_tokens"]
-            n_masked = n_total - context_no_global.shape[1]
-            mask_tokens = jnp.broadcast_to(params["mask_token"].astype(dtype),
-                                           (b, n_masked, self.dim_tokens))
-            context_with_mask = jnp.concatenate(
-                [context_no_global, mask_tokens], axis=1)
-            context_with_mask = jnp.take_along_axis(
-                context_with_mask, ids_restore[..., None], axis=1)
+            context_with_mask = onehot_scatter_rows(
+                context_no_global, ids_keep, n_total,
+                params["mask_token"].astype(dtype)[0])
 
         context_with_mask = context_with_mask + self._context_embeddings(
             params, input_info, b, (nh, nw), dtype)
@@ -192,8 +194,7 @@ class SpatialOutputAdapter:
                  for task, info in input_info["tasks"].items()
                  if task not in absent_tasks], axis=1)
         else:
-            context_vis = jnp.take_along_axis(
-                context_with_mask, ids_keep[..., None], axis=1)
+            context_vis = onehot_gather_rows(context_with_mask, ids_keep)
         if num_global:
             context_vis = jnp.concatenate([context_vis, context[:, -num_global:]], axis=1)
 

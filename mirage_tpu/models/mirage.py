@@ -12,7 +12,8 @@ from typing import Any, Dict, Mapping, Optional, Sequence, Union
 import jax
 import jax.numpy as jnp
 
-from mirage_tpu.masking.masking import generate_random_masks, masks_to_indices
+from mirage_tpu.masking.masking import (
+    generate_random_masks, masks_to_indices, onehot_gather_rows)
 from mirage_tpu.models.encoder import encoder_apply, encoder_init
 from mirage_tpu.nn import init as vinit
 from mirage_tpu.utils.factory import get_factory_adder
@@ -203,8 +204,9 @@ class MIRAGEModel:
         else:
             input_tokens = jnp.concatenate(
                 [input_task_tokens[t] for t in task_order], axis=1)
-            input_tokens = jnp.take_along_axis(
-                input_tokens, ids_keep[..., None], axis=1)
+            # one-hot gather: a take_along_axis over the token axis
+            # degenerates to scalar loads on TPU (masking.onehot_gather_rows)
+            input_tokens = onehot_gather_rows(input_tokens, ids_keep)
 
         global_tokens = jnp.broadcast_to(
             params["global_tokens"].astype(input_tokens.dtype),

@@ -88,3 +88,38 @@ def test_generate_masks_jittable():
     f = jax.jit(lambda k: generate_random_masks(k, tuple(TOKENS), B, ENC))
     masks, ids_keep, _ = f(jax.random.PRNGKey(3))
     assert ids_keep.shape == (B, ENC)
+
+
+def test_onehot_gather_scatter_rows_match_take_along_axis():
+    """The one-hot matmul forms (TPU gather-degeneration fix) are exact
+    equivalents of take_along_axis / mask-token unshuffle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mirage_tpu.masking.masking import (
+        masks_to_indices, onehot_gather_rows, onehot_scatter_rows)
+
+    rng = np.random.default_rng(3)
+    b, n, d, nvis = 4, 24, 16, 9
+    x = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+    ids = jnp.asarray(
+        np.stack([rng.permutation(n)[:nvis] for _ in range(b)]).astype(np.int32))
+    got = onehot_gather_rows(x, ids)
+    want = jnp.take_along_axis(x, ids[..., None], axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+    # scatter: equivalent to the reference's concat(vis, mask) + ids_restore
+    vis = jnp.asarray(rng.standard_normal((b, nvis, d)).astype(np.float32))
+    fill = jnp.asarray(rng.standard_normal((1, d)).astype(np.float32))
+    masks = {"t": jnp.asarray(
+        np.stack([np.isin(np.arange(n), np.asarray(ids)[i], invert=True)
+                  for i in range(b)]).astype(np.int32))}
+    ids_keep, ids_restore = masks_to_indices(masks, ["t"], nvis)
+    vis_sorted = onehot_gather_rows(  # reorder vis into ids_keep order
+        vis, jnp.argsort(jnp.argsort(ids, axis=1), axis=1))
+    got = onehot_scatter_rows(vis_sorted, ids_keep, n, fill)
+    concat = jnp.concatenate(
+        [vis_sorted, jnp.broadcast_to(fill, (b, n - nvis, d))], axis=1)
+    want = jnp.take_along_axis(concat, ids_restore[..., None], axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
