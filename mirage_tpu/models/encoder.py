@@ -69,29 +69,34 @@ def encoder_apply(
                 outs[i] = x
         return x, outs
 
-    dpr = drop_path_rates(drop_path_rate, depth)
+    # drop_path_rate == 0.0 (every reference pretraining/cls-FT config):
+    # don't thread traced per-layer rates through the scan — a STATIC 0.0
+    # lets block_apply pick the fused-MLP kernel path in training.
+    thread_rates = drop_path_rate != 0.0
+    dpr = drop_path_rates(drop_path_rate, depth) if thread_rates else None
 
     def body(carry, xs):
-        if deterministic:
-            p, rate = xs
-            key = None
-        else:
-            p, rate, key = xs
+        xs = list(xs)
+        p = xs.pop(0)
+        rate = xs.pop(0) if thread_rates else 0.0
+        key = xs.pop(0) if not deterministic else None
         fn = partial(block_apply, num_heads=num_heads, impl=impl, drop=drop,
                      attn_drop=attn_drop, deterministic=deterministic)
         if remat:
             fn = jax.checkpoint(
                 lambda p_, c_, rate_, key_: block_apply(
                     p_, c_, num_heads, impl=impl, drop=drop, attn_drop=attn_drop,
-                    drop_path_rate=rate_, deterministic=deterministic, rng=key_))
+                    drop_path_rate=rate_, deterministic=deterministic, rng=key_),
+                static_argnums=(2,) if not thread_rates else ())
             y = fn(p, carry, rate, key)
         else:
             y = fn(p, carry, drop_path_rate=rate, rng=key)
         return y, None
 
-    if deterministic:
-        xs = (params, dpr)
-    else:
-        xs = (params, dpr, jax.random.split(rng, depth))
-    x, _ = jax.lax.scan(body, x, xs)
+    xs = [params]
+    if thread_rates:
+        xs.append(dpr)
+    if not deterministic:
+        xs.append(jax.random.split(rng, depth))
+    x, _ = jax.lax.scan(body, x, tuple(xs))
     return x, None

@@ -55,7 +55,15 @@ def block_apply(p, x, num_heads, *, impl="auto", drop=0.0, attn_drop=0.0,
     h = attention_apply(p["attn"], h, num_heads, impl=impl, attn_drop=attn_drop,
                         proj_drop=drop, deterministic=deterministic, rng=r[0])
     x = x + drop_path(h, drop_path_rate, deterministic=deterministic, rng=r[1])
-    if deterministic and impl in ("auto", "block") and _on_tpu():
+    # The fused MLP half also covers TRAINING when dropout/drop-path are
+    # statically zero (all reference pretraining configs): it has a real
+    # Pallas backward (dx + parameter grads), so no recompute penalty under
+    # remat. A traced (non-float) drop_path_rate keeps the generic path.
+    static_identity_regularizers = (
+        drop == 0.0 and isinstance(drop_path_rate, (int, float))
+        and drop_path_rate == 0.0)
+    if ((deterministic or static_identity_regularizers)
+            and impl in ("auto", "block") and _on_tpu()):
         from mirage_tpu.ops.fused_mlp import mlp_block
 
         return mlp_block(x, p["norm2"], p["mlp"])

@@ -16,8 +16,9 @@ transformer block (mirage/utils.py:251-262: norm2 -> fc1 -> exact-erf GELU
     nn/layers.py:19-22) run on the in-VMEM blocks; matmuls accumulate f32 on
     the MXU.
 
-Backward: custom_vjp recomputes through the plain XLA ops (inference is the
-primary user; training keeps full fidelity via the recompute).
+Backward: a matching Pallas kernel on TPU (recomputes LN/fc1/GELU blockwise
+in VMEM, emits dx + f32 parameter grads accumulated across a sequential
+grid); XLA-recompute custom_vjp elsewhere (CPU tests).
 """
 
 import functools
@@ -61,12 +62,16 @@ def _mlp_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     y = (x32 - mean) * jax.lax.rsqrt(var + 1e-6)
     y = y * g_ref[...].astype(jnp.float32) + be_ref[...].astype(jnp.float32)
     y = y.astype(x.dtype)
-    h = jax.lax.dot_general(y, w1_ref[...], (((1,), (0,)), ((), ())),
+    # weights cast to the compute dtype in VMEM: training passes f32 master
+    # params, and an f32 x bf16 dot would promote to a (8x slower) f32 matmul
+    h = jax.lax.dot_general(y, w1_ref[...].astype(x.dtype),
+                            (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     h = h + b1_ref[...].astype(jnp.float32)
     h = 0.5 * h * (1.0 + _erf(h / _SQRT2))  # erf GELU (see _erf)
     h = h.astype(x.dtype)
-    o = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
+    o = jax.lax.dot_general(h, w2_ref[...].astype(x.dtype),
+                            (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     o = o + b2_ref[...].astype(jnp.float32)
     out = x + o.astype(x.dtype)
@@ -132,6 +137,165 @@ def _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, block_rows: int = 512,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Pallas backward: dx + all parameter grads in one kernel.
+#
+# The XLA backward of this half-block (under the pretraining remat) ran at
+# ~3x its matmul floor: the recomputed (M, 4D) fc1/GELU intermediates round-
+# trip HBM twice and the LN-stat reductions fuse badly (round-2 trace:
+# ~67 ms/step of a 289 ms ViT-B step). This kernel recomputes LN -> fc1 ->
+# GELU blockwise in VMEM and emits dx plus f32 dgamma/dbeta/dW1/db1/dW2/db2
+# accumulated across a sequential grid (constant-index-map outputs,
+# initialized at program 0 — the standard Pallas reduction pattern).
+# ---------------------------------------------------------------------------
+
+def _mlp_bwd_rows(x, dy, g_ref, be_ref, w1_ref, b1_ref, w2_ref):
+    """Backward math for one (M, D) row block. Returns
+    (dx, dgamma, dbeta, dw1, db1, dw2, db2) — grads in f32."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + 1e-6)
+    yhat = (x32 - mean) * inv
+    g32 = g_ref[...].astype(jnp.float32)
+    y = (yhat * g32 + be_ref[...].astype(jnp.float32)).astype(x.dtype)
+    w1c = w1_ref[...].astype(x.dtype)
+    w2c = w2_ref[...].astype(x.dtype)
+    h = jax.lax.dot_general(y, w1c, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = h + b1_ref[...].astype(jnp.float32)
+    e = _erf(h / _SQRT2)
+    act = (0.5 * h * (1.0 + e)).astype(x.dtype)
+    dy32 = dy.astype(jnp.float32)
+    db2 = jnp.sum(dy32, axis=0, keepdims=True)
+    dw2 = jax.lax.dot_general(act, dy, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dact = jax.lax.dot_general(dy, w2c, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    # d/dh [0.5 h (1+erf(h/sqrt2))] = 0.5 (1+erf) + h * N(h; 0,1)
+    dgelu = 0.5 * (1.0 + e) + h * jnp.exp(-0.5 * h * h) * 0.3989422804014327
+    dh = dact * dgelu
+    db1 = jnp.sum(dh, axis=0, keepdims=True)
+    dh_c = dh.astype(x.dtype)
+    dw1 = jax.lax.dot_general(y, dh_c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dyln = jax.lax.dot_general(dh_c, w1c, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dgamma = jnp.sum(dyln * yhat, axis=0, keepdims=True)
+    dbeta = jnp.sum(dyln, axis=0, keepdims=True)
+    dyhat = dyln * g32
+    m1 = jnp.mean(dyhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyhat * yhat, axis=-1, keepdims=True)
+    dx = dy32 + inv * (dyhat - m1 - yhat * m2)
+    return dx, dgamma, dbeta, dw1, db1, dw2, db2
+
+
+def _mlp_bwd_kernel(x_ref, dy_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
+                    dx_ref, dg_ref, dbe_ref, dw1_ref, db1_ref, dw2_ref,
+                    db2_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        dbe_ref[...] = jnp.zeros_like(dbe_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    if x_ref.ndim == 3:
+        elems = x_ref.shape[0]
+        for ei in range(elems):
+            dx, dg, dbe, dw1, db1, dw2, db2 = _mlp_bwd_rows(
+                x_ref[ei], dy_ref[ei], g_ref, be_ref, w1_ref, b1_ref, w2_ref)
+            dx_ref[ei] = dx.astype(dx_ref.dtype)
+            dg_ref[...] += dg
+            dbe_ref[...] += dbe
+            dw1_ref[...] += dw1
+            db1_ref[...] += db1
+            dw2_ref[...] += dw2
+            db2_ref[...] += db2
+    else:
+        dx, dg, dbe, dw1, db1, dw2, db2 = _mlp_bwd_rows(
+            x_ref[...], dy_ref[...], g_ref, be_ref, w1_ref, b1_ref, w2_ref)
+        dx_ref[...] = dx.astype(dx_ref.dtype)
+        dg_ref[...] += dg
+        dbe_ref[...] += dbe
+        dw1_ref[...] += dw1
+        db1_ref[...] += db1
+        dw2_ref[...] += dw2
+        db2_ref[...] += db2
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mlp_block_bwd_pallas(x, dy, gamma, beta, w1, b1, w2, interpret=False):
+    """Returns (dx, dgamma, dbeta, dw1, db1, dw2, db2); parameter grads f32."""
+    d = x.shape[-1]
+    hdim = w1.shape[-1]
+    kwargs = {}
+    if _HAVE_PLTPU and not interpret:
+        # sequential grid: the parameter-grad outputs are accumulated across
+        # programs (constant index maps), so iterations must not be reordered
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024)
+    w_specs = [pl.BlockSpec(shape, lambda i: (0, 0))
+               for shape in ((1, d), (1, d), (d, hdim), (1, hdim), (hdim, d))]
+    # weights enter the kernel in the compute dtype (they only feed matmuls
+    # here): keeps the VMEM-resident footprint at bf16, not f32-master, size
+    flat = (gamma.reshape(1, d), beta.reshape(1, d), w1.astype(x.dtype),
+            b1.reshape(1, hdim), w2.astype(x.dtype))
+    grad_shapes = [
+        jax.ShapeDtypeStruct((1, d), jnp.float32),      # dgamma
+        jax.ShapeDtypeStruct((1, d), jnp.float32),      # dbeta
+        jax.ShapeDtypeStruct((d, hdim), jnp.float32),   # dw1
+        jax.ShapeDtypeStruct((1, hdim), jnp.float32),   # db1
+        jax.ShapeDtypeStruct((hdim, d), jnp.float32),   # dw2
+        jax.ShapeDtypeStruct((1, d), jnp.float32),      # db2
+    ]
+    grad_specs = [pl.BlockSpec(s.shape, lambda i: (0,) * len(s.shape))
+                  for s in grad_shapes]
+    if x.ndim == 3 and x.shape[1] % 16 == 0:
+        b, n, _ = x.shape
+        out = _mlp_block_bwd_pallas(x.reshape(b * n, d), dy.reshape(b * n, d),
+                                    gamma, beta, w1, b1, w2,
+                                    interpret=interpret)
+        return (out[0].reshape(b, n, d),) + out[1:]
+    if x.ndim == 3:
+        b, n, _ = x.shape
+        elems = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
+        dx, *grads = pl.pallas_call(
+            _mlp_bwd_kernel,
+            out_shape=[jax.ShapeDtypeStruct((b, n, d), x.dtype)] + grad_shapes,
+            grid=(b // elems,),
+            in_specs=[pl.BlockSpec((elems, n, d), lambda i: (i, 0, 0)),
+                      pl.BlockSpec((elems, n, d), lambda i: (i, 0, 0))] + w_specs,
+            out_specs=[pl.BlockSpec((elems, n, d), lambda i: (i, 0, 0))]
+            + grad_specs,
+            interpret=interpret,
+            **kwargs,
+        )(x, dy, *flat)
+        return (dx, *grads)
+    m = x.shape[0]
+    blk = None
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        if m % cand == 0:
+            blk = cand
+            break
+    if blk is None:  # ragged row count: padded rows would pollute the
+        blk = m      # accumulators, so run it as a single block
+    dx, *grads = pl.pallas_call(
+        _mlp_bwd_kernel,
+        out_shape=[jax.ShapeDtypeStruct((m, d), x.dtype)] + grad_shapes,
+        grid=(m // blk,),
+        in_specs=[pl.BlockSpec((blk, d), lambda i: (i, 0)),
+                  pl.BlockSpec((blk, d), lambda i: (i, 0))] + w_specs,
+        out_specs=[pl.BlockSpec((blk, d), lambda i: (i, 0))] + grad_specs,
+        interpret=interpret,
+        **kwargs,
+    )(x, dy, *flat)
+    return (dx, *grads)
+
+
 def _mlp_block_xla(x, gamma, beta, w1, b1, w2, b2):
     """Reference path (identical ops via nn.layers) for backward recompute
     and CPU fallback."""
@@ -153,6 +317,24 @@ def _mlp_block_fwd_vjp(x, gamma, beta, w1, b1, w2, b2):
 
 
 def _mlp_block_bwd_vjp(res, g):
+    x, gamma, beta, w1, b1, w2, b2 = res
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if on_tpu and _HAVE_PLTPU:
+        dx, dg, dbe, dw1, db1, dw2, db2 = _mlp_block_bwd_pallas(
+            x, g, gamma, beta, w1, b1, w2)
+        # keep XLA from fusing the f32 dW outputs into the caller's
+        # gradient-stack update-slice: that fusion charges them to the 16 MB
+        # scoped-vmem budget and fails to compile at ViT sizes
+        dx, dg, dbe, dw1, db1, dw2, db2 = jax.lax.optimization_barrier(
+            (dx, dg, dbe, dw1, db1, dw2, db2))
+        return (dx.astype(x.dtype),
+                dg.reshape(gamma.shape).astype(gamma.dtype),
+                dbe.reshape(beta.shape).astype(beta.dtype),
+                dw1.astype(w1.dtype), db1.reshape(b1.shape).astype(b1.dtype),
+                dw2.astype(w2.dtype), db2.reshape(b2.shape).astype(b2.dtype))
     _, vjp = jax.vjp(_mlp_block_xla, *res)
     return vjp(g)
 

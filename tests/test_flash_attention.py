@@ -203,3 +203,34 @@ def test_fused_block_matches_xla(rng):
         want = block_apply(p, x, h, impl="xla")
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=3e-5, rtol=1e-4)
+
+
+def test_mlp_block_backward_kernel_matches_xla(rng):
+    """Pallas MLP-half backward (interpret mode): dx + all parameter grads
+    vs jax.vjp through the plain XLA half-block."""
+    import jax
+    import jax.numpy as jnp
+
+    from mirage_tpu.ops.fused_mlp import (
+        _mlp_block_bwd_pallas, _mlp_block_xla)
+
+    for shape in [(4, 32, 48), (2, 16, 64), (96, 48)]:  # 3-D elems, aligned-3-D, 2-D
+        d = shape[-1]
+        hdim = 4 * d
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        gamma = jnp.asarray(1.0 + 0.1 * rng.standard_normal(d).astype(np.float32))
+        beta = jnp.asarray(0.1 * rng.standard_normal(d).astype(np.float32))
+        w1 = jnp.asarray(rng.standard_normal((d, hdim)).astype(np.float32) * 0.1)
+        b1 = jnp.asarray(0.1 * rng.standard_normal(hdim).astype(np.float32))
+        w2 = jnp.asarray(rng.standard_normal((hdim, d)).astype(np.float32) * 0.1)
+        b2 = jnp.asarray(0.1 * rng.standard_normal(d).astype(np.float32))
+        _, vjp = jax.vjp(_mlp_block_xla, x, gamma, beta, w1, b1, w2, b2)
+        want = vjp(g)
+        got = _mlp_block_bwd_pallas(x, g, gamma, beta, w1, b1, w2,
+                                    interpret=True)
+        names = ["dx", "dgamma", "dbeta", "dw1", "db1", "dw2", "db2"]
+        for name, gg, ww in zip(names, got, want[:6] + (want[6],)):
+            np.testing.assert_allclose(
+                np.asarray(gg).reshape(np.asarray(ww).shape), np.asarray(ww),
+                atol=5e-4, rtol=1e-3, err_msg=f"{name} @ {shape}")
