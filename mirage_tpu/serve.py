@@ -1,0 +1,245 @@
+"""Model serving: dynamic request batching + a small HTTP server.
+
+Production-deployment layer beyond the reference repo (which only ships the
+`python mirage_wrapper.py` one-shot CLI, mirage_wrapper.py:269-313): TPUs
+want large batches (BASELINE.md: batch-64 runs the flagship at 866 img/s vs
+336 img/s at batch 1), so the server coalesces concurrent single-image
+requests into one device dispatch.
+
+Design: stdlib-only (http.server + threads + numpy). The model is a plain
+callable `dict[str, np.ndarray] -> dict[str, np.ndarray]` over batched
+arrays, so the batching/HTTP layers are testable without weights and any
+wrapper (single-chip, multi-chip `mesh=`, features-only) plugs in.
+
+Protocol (all bodies are npz — `np.savez` bytes):
+  POST /v1/reconstruct   {modality: (1,H,W) | (H,W) float/int arrays}
+                         -> {task: prediction array for this sample}
+  POST /v1/features      same input -> {"features": (N+G, D)}
+  GET  /healthz          -> JSON {status, device, n_params, pending}
+  GET  /stats            -> JSON {requests, batches, mean_batch,
+                                  latency_ms: {p50, p95, max}}
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+
+class _Pending:
+    __slots__ = ("sample", "event", "result", "error", "t_submit")
+
+    def __init__(self, sample):
+        self.sample = sample
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[BaseException] = None
+        self.t_submit = time.perf_counter()
+
+
+class BatchingQueue:
+    """Coalesces concurrent single-sample requests into batched model calls.
+
+    The dispatcher thread waits for the first request, then keeps collecting
+    until `max_batch` samples are queued or `max_wait_ms` elapsed, stacks
+    them on axis 0, runs `model_fn` ONCE, and fans the per-sample slices back
+    to the waiting requests. Mirrors the standard accelerator-serving
+    pattern; the MIRAGEWrapper pads odd batches to its compiled sizes.
+    """
+
+    def __init__(self, model_fn: Callable[[Dict[str, np.ndarray]], Dict[str, np.ndarray]],
+                 max_batch: int = 16, max_wait_ms: float = 5.0):
+        self.model_fn = model_fn
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self._queue: List[_Pending] = []
+        self._cond = threading.Condition()
+        self._stop = False
+        self.batch_sizes: List[int] = []
+        self.latencies_s: List[float] = []
+        self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._thread.start()
+
+    # -- client side --------------------------------------------------------
+
+    def submit(self, sample: Dict[str, np.ndarray], timeout: float = 120.0):
+        """Blocks until the sample's result is ready; returns the per-sample
+        result dict. Raises whatever the model raised for its batch."""
+        p = _Pending(sample)
+        with self._cond:
+            if self._stop:
+                raise RuntimeError("server is shutting down")
+            self._queue.append(p)
+            self._cond.notify()
+        if not p.event.wait(timeout):
+            raise TimeoutError("model batch did not complete in time")
+        if p.error is not None:
+            raise p.error
+        self.latencies_s.append(time.perf_counter() - p.t_submit)
+        return p.result
+
+    def close(self):
+        with self._cond:
+            self._stop = True
+            self._cond.notify()
+        self._thread.join(timeout=5)
+
+    # -- dispatcher ---------------------------------------------------------
+
+    def _take_batch(self) -> List[_Pending]:
+        with self._cond:
+            while not self._queue and not self._stop:
+                self._cond.wait()
+            if self._stop and not self._queue:
+                return []
+            deadline = time.monotonic() + self.max_wait_s
+            while (len(self._queue) < self.max_batch and not self._stop):
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._cond.wait(timeout=remaining)
+            batch = self._queue[: self.max_batch]
+            del self._queue[: len(batch)]
+            return batch
+
+    def _dispatch_loop(self):
+        while True:
+            batch = self._take_batch()
+            if not batch:
+                return
+            try:
+                stacked = {
+                    k: np.stack([p.sample[k] for p in batch])
+                    for k in batch[0].sample
+                }
+                out = self.model_fn(stacked)
+                for i, p in enumerate(batch):
+                    p.result = {k: np.asarray(v)[i] for k, v in out.items()}
+            except BaseException as e:  # propagate to every waiter
+                for p in batch:
+                    p.error = e
+            finally:
+                self.batch_sizes.append(len(batch))
+                for p in batch:
+                    p.event.set()
+
+
+def _encode_npz(arrays: Dict[str, np.ndarray]) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def _decode_npz(body: bytes) -> Dict[str, np.ndarray]:
+    with np.load(io.BytesIO(body), allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
+class MIRAGEServer:
+    """HTTP front for one or two batching queues (reconstruct / features)."""
+
+    def __init__(self, reconstruct_fn=None, features_fn=None, *,
+                 max_batch: int = 16, max_wait_ms: float = 5.0,
+                 device: str = "unknown", n_params: int = 0):
+        assert reconstruct_fn is not None or features_fn is not None
+        self.queues: Dict[str, BatchingQueue] = {}
+        if reconstruct_fn is not None:
+            self.queues["/v1/reconstruct"] = BatchingQueue(
+                reconstruct_fn, max_batch=max_batch, max_wait_ms=max_wait_ms)
+        if features_fn is not None:
+            self.queues["/v1/features"] = BatchingQueue(
+                features_fn, max_batch=max_batch, max_wait_ms=max_wait_ms)
+        self.device = device
+        self.n_params = n_params
+        self._httpd: Optional[ThreadingHTTPServer] = None
+
+    # -- stats --------------------------------------------------------------
+
+    def stats(self) -> Dict:
+        sizes = [s for q in self.queues.values() for s in q.batch_sizes]
+        lats = sorted(s for q in self.queues.values() for s in q.latencies_s)
+
+        def pct(p):
+            return round(lats[min(len(lats) - 1, int(p * len(lats)))] * 1e3, 3) \
+                if lats else None
+
+        return {
+            "requests": len(lats),
+            "batches": len(sizes),
+            "mean_batch": round(sum(sizes) / len(sizes), 2) if sizes else None,
+            "latency_ms": {"p50": pct(0.50), "p95": pct(0.95),
+                           "max": round(lats[-1] * 1e3, 3) if lats else None},
+        }
+
+    def health(self) -> Dict:
+        return {
+            "status": "ok",
+            "device": self.device,
+            "n_params": self.n_params,
+            "pending": sum(len(q._queue) for q in self.queues.values()),
+        }
+
+    # -- http ---------------------------------------------------------------
+
+    def make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code, body: bytes, ctype: str):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, json.dumps(server.health()).encode(),
+                               "application/json")
+                elif self.path == "/stats":
+                    self._send(200, json.dumps(server.stats()).encode(),
+                               "application/json")
+                else:
+                    self._send(404, b"{}", "application/json")
+
+            def do_POST(self):
+                q = server.queues.get(self.path)
+                if q is None:
+                    self._send(404, b"{}", "application/json")
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    sample = _decode_npz(self.rfile.read(n))
+                    result = q.submit(sample)
+                    self._send(200, _encode_npz(result), "application/npz")
+                except Exception as e:  # noqa: BLE001 — report to client
+                    self._send(500, json.dumps({"error": repr(e)}).encode(),
+                               "application/json")
+
+        return Handler
+
+    def serve(self, host: str = "127.0.0.1", port: int = 8473,
+              background: bool = False) -> ThreadingHTTPServer:
+        self._httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        if background:
+            threading.Thread(target=self._httpd.serve_forever,
+                             daemon=True).start()
+        else:
+            self._httpd.serve_forever()
+        return self._httpd
+
+    def close(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+        for q in self.queues.values():
+            q.close()

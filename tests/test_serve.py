@@ -1,0 +1,137 @@
+"""Serving layer: dynamic batching + HTTP protocol (mirage_tpu/serve.py)."""
+
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+def _post(url, arrays):
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    req = urllib.request.Request(url, data=buf.getvalue(), method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        body = r.read()
+    with np.load(io.BytesIO(body), allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
+def test_batching_queue_coalesces_and_fans_out():
+    from mirage_tpu.serve import BatchingQueue
+
+    calls = []
+
+    def model(batch):
+        calls.append(batch["x"].shape[0])
+        time.sleep(0.01)  # let the queue fill while a batch is in flight
+        return {"y": batch["x"] * 2.0}
+
+    q = BatchingQueue(model, max_batch=4, max_wait_ms=20)
+    results = [None] * 10
+
+    def worker(i):
+        results[i] = q.submit({"x": np.full((3,), float(i), np.float32)})
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(10)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    q.close()
+
+    for i in range(10):
+        np.testing.assert_allclose(results[i]["y"], np.full((3,), 2.0 * i))
+    assert sum(calls) == 10
+    assert max(calls) <= 4
+    assert len(calls) < 10, "requests were never coalesced into batches"
+
+
+def test_batching_queue_propagates_model_errors():
+    from mirage_tpu.serve import BatchingQueue
+
+    def model(batch):
+        raise ValueError("boom")
+
+    q = BatchingQueue(model, max_batch=2, max_wait_ms=1)
+    with pytest.raises(ValueError, match="boom"):
+        q.submit({"x": np.zeros((2,), np.float32)})
+    q.close()
+
+
+def test_http_server_end_to_end():
+    from mirage_tpu.serve import MIRAGEServer
+
+    def reconstruct(batch):
+        # stub model: per-task outputs with a batch-dependent stamp
+        b = batch["bscan"].shape[0]
+        return {"bscan": batch["bscan"] + 1.0,
+                "meta": np.full((b,), float(b), np.float32)}
+
+    server = MIRAGEServer(reconstruct_fn=reconstruct, max_batch=8,
+                          max_wait_ms=10, device="cpu-test", n_params=123)
+    httpd = server.serve(port=0, background=True)  # ephemeral port
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        outs = [None] * 6
+
+        def worker(i):
+            outs[i] = _post(f"{base}/v1/reconstruct",
+                            {"bscan": np.full((4, 4), float(i), np.float32)})
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(6):
+            np.testing.assert_allclose(outs[i]["bscan"],
+                                       np.full((4, 4), i + 1.0))
+
+        with urllib.request.urlopen(f"{base}/healthz", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["n_params"] == 123
+        with urllib.request.urlopen(f"{base}/stats", timeout=10) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] == 6
+        assert stats["batches"] <= 6
+        assert stats["latency_ms"]["p95"] is not None
+    finally:
+        server.close()
+
+
+def test_serve_cli_model_fns_shapes():
+    """make_model_fns adapts (B,H,W) image batches / int layermaps to the
+    wrapper input contract."""
+    from mirage_tpu.cli.serve import make_model_fns
+
+    seen = {}
+
+    class FakeWrapper:
+        in_domains = ["bscan", "bscanlayermap"]
+
+        def __call__(self, x):
+            import jax.numpy as jnp
+
+            seen.update({k: (v.shape, v.dtype) for k, v in x.items()})
+            return {"bscan": jnp.zeros((x["bscan"].shape[0], 1, 8, 8))}
+
+        def features(self, x):
+            import jax.numpy as jnp
+
+            return jnp.zeros((x["bscan"].shape[0], 5, 16))
+
+    rec, feat = make_model_fns(FakeWrapper(), ["bscan", "bscanlayermap"])
+    out = rec({"bscan": np.zeros((2, 8, 8), np.float32),
+               "bscanlayermap": np.zeros((2, 4, 4), np.int64)})
+    assert out["bscan"].shape == (2, 1, 8, 8)
+    assert seen["bscan"][0] == (2, 1, 8, 8)
+    assert str(seen["bscanlayermap"][1]) == "int32"
+    assert feat({"bscan": np.zeros((3, 8, 8), np.float32)})["features"].shape \
+        == (3, 5, 16)
+    with pytest.raises(ValueError, match="unknown modality"):
+        rec({"slo": np.zeros((1, 8, 8), np.float32)})
