@@ -83,11 +83,15 @@ class MIRAGECls:
         global_ = tokens[:, -g:].mean(axis=1)
         return jnp.concatenate([patch, global_], axis=1)
 
-    def apply(self, params, x, *, deterministic=True, rng=None):
-        """x: (B, C, H, W) in [0, 1] -> (B, num_classes) logits."""
+    def apply(self, params, x, *, deterministic=True, rng=None,
+              frozen_encoder=False):
+        """x: (B, C, H, W) in [0, 1] -> (B, num_classes) logits.
+        frozen_encoder: linear probing — stop gradients at the encoder
+        output so no dead backward scan is built (forward_light docstring)."""
         tokens = self.model.forward_light(
             params["model"], {self.in_domain: x},
-            deterministic=deterministic, rng=rng)
+            deterministic=deterministic, rng=rng,
+            frozen_encoder=frozen_encoder)
         tokens = layer_norm(params["norm"], tokens)
         pooled = self.pool(tokens).astype(jnp.float32)
         return linear(params["head"], pooled)

@@ -150,7 +150,8 @@ def main(argv=None):
         frozen_paths=("model", "norm") if args.linear_probing else ()))
 
     def loss_fn(params, images, targets, rng):
-        logits = cls.apply(params, images, deterministic=False, rng=rng)
+        logits = cls.apply(params, images, deterministic=False, rng=rng,
+                           frozen_encoder=args.linear_probing)
         loss = cross_entropy_loss(logits[..., None, None],
                                   targets[..., None, None],
                                   label_smoothing=args.smoothing)

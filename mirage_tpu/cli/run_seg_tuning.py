@@ -270,7 +270,8 @@ def main(argv=None):
         inputs = {k: v for k, v in batch.items() if k in args.in_domains}
         preds = model.forward_light(params_, inputs,
                                     return_all_layers=return_all_layers,
-                                    deterministic=False, rng=rng)
+                                    deterministic=False, rng=rng,
+                                    frozen_encoder=args.freeze_encoder)
         logits = preds["semseg"].astype(jnp.float32)
         if logits.shape[-2:] != batch["semseg"].shape[-2:]:
             from mirage_tpu.nn.resize import resize2d

@@ -276,10 +276,20 @@ class MIRAGEModel:
         return_all_layers: bool = False,
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
+        frozen_encoder: bool = False,
     ):
         """Plain multimodal ViT forward, no masking (MIRAGELight.forward,
         model.py:528-567). Returns encoder tokens (or per-layer list) if no
-        output adapters, else task->prediction dict."""
+        output adapters, else task->prediction dict.
+
+        frozen_encoder: set when the encoder AND input adapters carry no
+        trainable parameters (seg tuning's freeze_encoder, cls linear
+        probing). Puts stop_gradient on the encoder OUTPUT, not just the
+        params: param-level stop_gradient alone still makes JAX build the
+        dead backward-through-activations scan (and stash f32 per-layer
+        activations in the forward scan — 378 MB at the seg config), which
+        XLA cannot DCE across the loop boundary. Forward values are
+        unchanged."""
         tokens, input_info = self.process_input(params, x)
         if return_all_layers:
             _, layer_outs = encoder_apply(
@@ -288,6 +298,8 @@ class MIRAGEModel:
                 drop_path_rate=self.drop_path_rate, deterministic=deterministic,
                 rng=rng, return_layers=tuple(range(self.depth)), remat=self.remat)
             encoder_tokens = [layer_outs[i] for i in range(self.depth)]
+            if frozen_encoder:
+                encoder_tokens = [jax.lax.stop_gradient(t) for t in encoder_tokens]
             final = encoder_tokens
         else:
             final, _ = encoder_apply(
@@ -295,6 +307,8 @@ class MIRAGEModel:
                 impl=self.attn_impl, drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                 drop_path_rate=self.drop_path_rate, deterministic=deterministic,
                 rng=rng, remat=self.remat)
+            if frozen_encoder:
+                final = jax.lax.stop_gradient(final)
             encoder_tokens = final
 
         if self.output_adapters is None:

@@ -71,7 +71,8 @@ def bench_seg():
 
     def loss_fn(p, batch, rng):
         preds = model.forward_light(p, {"bscan": batch["bscan"]},
-                                    deterministic=False, rng=rng)
+                                    deterministic=False, rng=rng,
+                                    frozen_encoder=True)
         return ce_gdice_loss(preds["semseg"].astype(jnp.float32),
                              batch["semseg"]), {}
 
@@ -109,7 +110,8 @@ def bench_cls(linear_probing, remat):
 
     def apply(p, x, rng):
         tokens = core.forward_light(p["model"], {"bscan": x},
-                                    deterministic=False, rng=rng)
+                                    deterministic=False, rng=rng,
+                                    frozen_encoder=linear_probing)
         pooled = layer_norm(p["norm"], tokens)[:, :-1].mean(axis=1)
         return linear(p["head"], pooled.astype(jnp.float32))
 

@@ -172,3 +172,44 @@ def test_stop_frozen_grads_match():
     np.testing.assert_allclose(np.asarray(g_frozen["head"]["w"]),
                                np.asarray(g_plain["head"]["w"]), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(g_frozen["encoder"]["w"]), 0.0)
+
+
+def test_frozen_encoder_output_stopgrad_preserves_head_grads():
+    """forward_light(frozen_encoder=True) must not change forward values or
+    the trainable head's gradients — it only lets XLA drop the dead
+    backward-through-encoder scan."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mirage_tpu.adapters import LinearSegAdapter, PatchedInputAdapter
+    from mirage_tpu.models.mirage import MIRAGEModel
+
+    model = MIRAGEModel(
+        input_adapters={"bscan": PatchedInputAdapter(
+            num_channels=1, patch_size_full=(16, 16), image_size=64)},
+        output_adapters={"semseg": LinearSegAdapter(
+            num_classes=5, patch_size=16, main_tasks=("bscan",),
+            task="semseg", image_size=(64, 64))},
+        dim_tokens=96, depth=2, num_heads=4)
+    params = model.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).random((2, 1, 64, 64)),
+                    jnp.float32)
+
+    def loss(p, frozen):
+        frozen_tree = {"input_adapters": jax.lax.stop_gradient(p["input_adapters"]),
+                       "encoder": jax.lax.stop_gradient(p["encoder"]),
+                       "global_tokens": jax.lax.stop_gradient(p["global_tokens"]),
+                       "output_adapters": p["output_adapters"]}
+        preds = model.forward_light(frozen_tree, {"bscan": x},
+                                    frozen_encoder=frozen)
+        return jnp.sum(preds["semseg"].astype(jnp.float32) ** 2) / 1e3
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for (pth, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g0["output_adapters"])[0],
+            jax.tree_util.tree_flatten_with_path(g1["output_adapters"])[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(pth))
