@@ -75,6 +75,29 @@ def convnext_block_apply(p, x, *, drop_path_rate=0.0, deterministic=True, rng=No
     inp = x
     dim = x.shape[1]
     x = conv2d(p["dwconv"], x, padding=3, groups=dim)
+    from mirage_tpu.nn.attention import _on_tpu
+
+    fused = ("gamma" not in p and _on_tpu()
+             and (deterministic or (isinstance(drop_path_rate, (int, float))
+                                    and drop_path_rate == 0.0)))
+    if fused:
+        # The post-dwconv chain IS the fused-MLP half-block shape
+        # (LN -> fc1 -> GELU -> fc2) over B*H*W channel-last tokens; the
+        # kernel (ops/fused_mlp.py, Pallas fwd + bwd) keeps the (.., 4C)
+        # intermediates in VMEM — the XLA path ran the pointwise matmuls at
+        # ~22% MFU behind NCHW<->NHWC layout thrash (seg trace, round 2).
+        # The kernel adds its own residual of the dwconv output t, so
+        # subtract t and add the block input (reference residual source,
+        # output_adapter_utils.py:36-46); bf16 error of the subtract is one
+        # ulp of t, at the same scale as the adds around it.
+        from mirage_tpu.ops.fused_mlp import mlp_block
+
+        b, c, h, w = x.shape
+        t = x.transpose(0, 2, 3, 1).reshape(b * h * w, c)
+        out = mlp_block(t, p["norm"], {"fc1": p["pwconv1"], "fc2": p["pwconv2"]})
+        mlp_out = (out - t).reshape(b, h, w, c).transpose(0, 3, 1, 2)
+        return inp + drop_path(mlp_out, drop_path_rate,
+                               deterministic=deterministic, rng=rng)
     x = x.transpose(0, 2, 3, 1)  # NHWC: LN + matmuls are channels-last native
     x = layer_norm(p["norm"], x)
     x = linear(p["pwconv1"], x)
