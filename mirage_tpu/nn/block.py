@@ -34,7 +34,22 @@ def block_apply(p, x, num_heads, *, impl="auto", drop=0.0, attn_drop=0.0,
     r = [None] * 4
     if rng is not None:
         r = list(jax.random.split(rng, 4))
-    fused_inference = (deterministic and impl in ("auto", "block")
+    # Fused path covers inference AND training: both half-block kernels have
+    # real Pallas backwards (dx + f32 parameter grads, remat-friendly), so
+    # the only training requirement is that dropout/attention-dropout/
+    # drop-path are statically zero — true for every reference pretraining
+    # and cls config. A traced (non-float) drop_path_rate keeps the generic
+    # path (seg tuning's 0.1 stochastic depth). In TRAINING the attention
+    # half fuses only at short sequences: measured +7% at N=99 (pretraining)
+    # but -5% at N=257 (cls full-FT, where the XLA qkv/proj matmuls at
+    # B*N=16k rows beat the per-element kernel recompute) — the MLP half
+    # fuses at any N either way.
+    static_identity_regularizers = (
+        drop == 0.0 and attn_drop == 0.0
+        and isinstance(drop_path_rate, (int, float)) and drop_path_rate == 0.0)
+    fused_inference = ((deterministic
+                        or (static_identity_regularizers and x.shape[1] <= 128))
+                       and impl in ("auto", "block")
                        and x.shape[1] <= 512 and _on_tpu())
     if fused_inference:
         # each half-block is one Pallas kernel (ops/block_attention.py
@@ -55,14 +70,9 @@ def block_apply(p, x, num_heads, *, impl="auto", drop=0.0, attn_drop=0.0,
     h = attention_apply(p["attn"], h, num_heads, impl=impl, attn_drop=attn_drop,
                         proj_drop=drop, deterministic=deterministic, rng=r[0])
     x = x + drop_path(h, drop_path_rate, deterministic=deterministic, rng=r[1])
-    # The fused MLP half also covers TRAINING when dropout/drop-path are
-    # statically zero (all reference pretraining configs): it has a real
-    # Pallas backward (dx + parameter grads), so no recompute penalty under
-    # remat. A traced (non-float) drop_path_rate keeps the generic path.
-    static_identity_regularizers = (
-        drop == 0.0 and isinstance(drop_path_rate, (int, float))
-        and drop_path_rate == 0.0)
-    if ((deterministic or static_identity_regularizers)
+    if ((deterministic or (drop == 0.0
+                           and isinstance(drop_path_rate, (int, float))
+                           and drop_path_rate == 0.0))
             and impl in ("auto", "block") and _on_tpu()):
         from mirage_tpu.ops.fused_mlp import mlp_block
 

@@ -295,6 +295,168 @@ def _attn_half_fwd(x, gamma, beta, wqkv, bqkv, wproj, bproj, num_heads: int,
       wproj, bproj.reshape(1, d))
 
 
+# ---------------------------------------------------------------------------
+# Pallas backward for the attention half-block: dx + all parameter grads.
+# Recomputes LN -> qkv -> attention blockwise in VMEM (nothing saved but the
+# inputs, so it composes with remat at zero extra cost) and accumulates f32
+# dWqkv/dWproj/dLN across a sequential grid — same reduction pattern as
+# ops/fused_mlp.py. Replaces the XLA backward group that ran behind
+# (B,N,3D) layout copies in the pretraining trace.
+# ---------------------------------------------------------------------------
+
+def _attn_half_bwd_rows(x, dy, g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
+                        s_scratch, attn_scratch, *, num_heads, dim, scale):
+    """Backward math for one (N, D) element. Returns
+    (dx, dgamma, dbeta, dwqkv, dbqkv, dwproj, dbproj); param grads f32."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + 1e-6)
+    yhat = (x32 - mean) * inv
+    g32 = g_ref[...].astype(jnp.float32)
+    y = (yhat * g32 + be_ref[...].astype(jnp.float32)).astype(x.dtype)
+    wqkv_c = wqkv_ref[...].astype(x.dtype)
+    wp_c = wp_ref[...].astype(x.dtype)
+    qkv = jax.lax.dot_general(y, wqkv_c, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(x.dtype)
+    dh = dim // num_heads
+    # forward attention recompute (3-phase; e kept in s_scratch, l as value)
+    for h in range(num_heads):
+        q = qkv[:, h * dh:(h + 1) * dh]
+        k = qkv[:, dim + h * dh:dim + (h + 1) * dh]
+        s_scratch[h] = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+    s = s_scratch[...]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    s_scratch[...] = e / l  # normalized probabilities P
+    for h in range(num_heads):
+        v = qkv[:, 2 * dim + h * dh:2 * dim + (h + 1) * dh]
+        o = jax.lax.dot_general(
+            s_scratch[h].astype(x.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        attn_scratch[:, h * dh:(h + 1) * dh] = o.astype(x.dtype)
+    attn_out = attn_scratch[...]
+    # projection backward
+    dy32 = dy.astype(jnp.float32)
+    dbproj = jnp.sum(dy32, axis=0, keepdims=True)
+    dwproj = jax.lax.dot_general(attn_out, dy, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    dattn = jax.lax.dot_general(dy, wp_c, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32).astype(x.dtype)
+    # attention backward per head -> packed dqkv (written through attn paths)
+    dqkv_cols = []
+    for h in range(num_heads):
+        q = qkv[:, h * dh:(h + 1) * dh]
+        k = qkv[:, dim + h * dh:dim + (h + 1) * dh]
+        v = qkv[:, 2 * dim + h * dh:2 * dim + (h + 1) * dh]
+        p = s_scratch[h]
+        do_h = dattn[:, h * dh:(h + 1) * dh]
+        dp = jax.lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = (p * (dp - delta) * scale).astype(x.dtype)
+        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(p.astype(do_h.dtype), do_h,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dqkv_cols.append((dq, dk, dv))
+    dqkv = jnp.concatenate(
+        [c[0] for c in dqkv_cols] + [c[1] for c in dqkv_cols]
+        + [c[2] for c in dqkv_cols], axis=-1)
+    dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
+    dqkv_c = dqkv.astype(x.dtype)
+    dwqkv = jax.lax.dot_general(y, dqkv_c, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dyln = jax.lax.dot_general(dqkv_c, wqkv_c, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dgamma = jnp.sum(dyln * yhat, axis=0, keepdims=True)
+    dbeta = jnp.sum(dyln, axis=0, keepdims=True)
+    dyhat = dyln * g32
+    m1 = jnp.mean(dyhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyhat * yhat, axis=-1, keepdims=True)
+    dx = dy32 + inv * (dyhat - m1 - yhat * m2)
+    return dx, dgamma, dbeta, dwqkv, dbqkv, dwproj, dbproj
+
+
+def _attn_half_bwd_kernel(x_ref, dy_ref, g_ref, be_ref, wqkv_ref, bqkv_ref,
+                          wp_ref, dx_ref, dg_ref, dbe_ref, dwqkv_ref,
+                          dbqkv_ref, dwp_ref, dbp_ref, attn_scratch,
+                          s_scratch, *, num_heads, dim, scale, elems):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        dbe_ref[...] = jnp.zeros_like(dbe_ref)
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dwp_ref[...] = jnp.zeros_like(dwp_ref)
+        dbp_ref[...] = jnp.zeros_like(dbp_ref)
+
+    for ei in range(elems):
+        dx, dg, dbe, dwqkv, dbqkv, dwp, dbp = _attn_half_bwd_rows(
+            x_ref[ei], dy_ref[ei], g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
+            s_scratch, attn_scratch, num_heads=num_heads, dim=dim, scale=scale)
+        dx_ref[ei] = dx.astype(dx_ref.dtype)
+        dg_ref[...] += dg
+        dbe_ref[...] += dbe
+        dwqkv_ref[...] += dwqkv
+        dbqkv_ref[...] += dbqkv
+        dwp_ref[...] += dwp
+        dbp_ref[...] += dbp
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
+def _attn_half_bwd_pallas(x, dy, gamma, beta, wqkv, bqkv, wproj,
+                          num_heads: int, scale: float,
+                          interpret: bool = False):
+    b, n, d = x.shape
+    elems = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
+    kernel = functools.partial(_attn_half_bwd_kernel, num_heads=num_heads,
+                               dim=d, scale=scale, elems=elems)
+    kwargs = {}
+    if _HAVE_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential accumulation
+            vmem_limit_bytes=64 * 1024 * 1024)
+    wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))  # noqa: E731
+    grad_shapes = [
+        jax.ShapeDtypeStruct((1, d), jnp.float32),       # dgamma
+        jax.ShapeDtypeStruct((1, d), jnp.float32),       # dbeta
+        jax.ShapeDtypeStruct((d, 3 * d), jnp.float32),   # dwqkv
+        jax.ShapeDtypeStruct((1, 3 * d), jnp.float32),   # dbqkv
+        jax.ShapeDtypeStruct((d, d), jnp.float32),       # dwproj
+        jax.ShapeDtypeStruct((1, d), jnp.float32),       # dbproj
+    ]
+    grad_specs = [pl.BlockSpec(s.shape, lambda i: (0, 0)) for s in grad_shapes]
+    dx, *grads = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((b, n, d), x.dtype)] + grad_shapes,
+        grid=(b // elems,),
+        in_specs=[
+            pl.BlockSpec((elems, n, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((elems, n, d), lambda i: (i, 0, 0)),
+            wspec((1, d)), wspec((1, d)),
+            wspec((d, 3 * d)), wspec((1, 3 * d)),
+            wspec((d, d)),
+        ],
+        out_specs=[pl.BlockSpec((elems, n, d), lambda i: (i, 0, 0))]
+        + grad_specs,
+        scratch_shapes=[pltpu.VMEM((n, d), x.dtype),
+                        pltpu.VMEM((num_heads, n, n), jnp.float32)]
+        if _HAVE_PLTPU else [],
+        interpret=interpret,
+        **kwargs,
+    )(x, dy, gamma.reshape(1, d), beta.reshape(1, d),
+      wqkv.astype(x.dtype), bqkv.reshape(1, 3 * d), wproj.astype(x.dtype))
+    return (dx, *grads)
+
+
 def _attn_half_xla(x, gamma, beta, wqkv, bqkv, wproj, bproj, num_heads, scale):
     from mirage_tpu.nn.layers import layer_norm
 
@@ -317,6 +479,25 @@ def _attn_half_fwd_vjp(x, gamma, beta, wqkv, bqkv, wproj, bproj, num_heads,
 
 
 def _attn_half_bwd_vjp(num_heads, scale, res, g):
+    x, gamma, beta, wqkv, bqkv, wproj, bproj = res
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if on_tpu and _HAVE_PLTPU:
+        dx, dg, dbe, dwqkv, dbqkv, dwp, dbp = _attn_half_bwd_pallas(
+            x, g, gamma, beta, wqkv, bqkv, wproj, num_heads, scale)
+        # optimization barrier: see ops/fused_mlp.py — keeps the f32 dW
+        # outputs out of the caller's scoped-vmem-charged update fusion
+        dx, dg, dbe, dwqkv, dbqkv, dwp, dbp = jax.lax.optimization_barrier(
+            (dx, dg, dbe, dwqkv, dbqkv, dwp, dbp))
+        return (dx.astype(x.dtype),
+                dg.reshape(gamma.shape).astype(gamma.dtype),
+                dbe.reshape(beta.shape).astype(beta.dtype),
+                dwqkv.astype(wqkv.dtype),
+                dbqkv.reshape(bqkv.shape).astype(bqkv.dtype),
+                dwp.astype(wproj.dtype),
+                dbp.reshape(bproj.shape).astype(bproj.dtype))
     _, vjp = jax.vjp(
         lambda *a: _attn_half_xla(*a, num_heads, scale), *res)
     return vjp(g)
@@ -328,7 +509,8 @@ _attn_half.defvjp(_attn_half_fwd_vjp, _attn_half_bwd_vjp)
 def attn_half_block(x, norm1, attn, num_heads: int, interpret: bool = False):
     """Fused x + proj(SDPA(qkv(LN(x)))) over pytree params
     ({'scale','bias'}, {'qkv','proj'}); mirage/utils.py:251-257 semantics.
-    Inference path (backward recomputes via XLA)."""
+    Differentiable: Pallas backward kernel on TPU (dx + f32 parameter
+    grads), XLA recompute elsewhere."""
     d = x.shape[-1]
     scale = (d // num_heads) ** -0.5
     bqkv = attn["qkv"].get("b")

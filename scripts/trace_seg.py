@@ -27,7 +27,7 @@ opt = create_optimizer(OptimizerConfig(
 
 def loss_fn(p, batch, rng):
     preds = model.forward_light(p, {"bscan": batch["bscan"]},
-                                deterministic=False, rng=rng)
+                                deterministic=False, rng=rng, frozen_encoder=True)
     return ce_gdice_loss(preds["semseg"].astype(jnp.float32),
                          batch["semseg"]), {}
 
