@@ -49,39 +49,41 @@ except Exception:  # pragma: no cover
 
 
 def _block_attn_kernel(qkv_ref, o_ref, s_scratch, *, num_heads: int,
-                       dim: int, scale: float):
-    x = qkv_ref[0]  # (N, 3D) in compute dtype
+                       dim: int, scale: float, elems: int = 1):
     dh = dim // num_heads
     # 3 phases: all score matmuls, ONE softmax over every head, all PV
     # matmuls (batching the VPU work measured ~10% faster than per-head
     # MXU<->VPU interleaving)
-    for h in range(num_heads):
-        q = x[:, h * dh:(h + 1) * dh]
-        k = x[:, dim + h * dh:dim + (h + 1) * dh]
-        s_scratch[h] = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-    s = s_scratch[...]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    l = jnp.sum(e, axis=-1, keepdims=True)
-    s_scratch[...] = e
-    for h in range(num_heads):
-        v = x[:, 2 * dim + h * dh:2 * dim + (h + 1) * dh]
-        o = jax.lax.dot_general(
-            s_scratch[h].astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        # normalize the (N, Dh) output, not the (N, N) probs: Dh/N times
-        # less VPU work for the same math
-        o_ref[0, :, h * dh:(h + 1) * dh] = (o / l[h]).astype(o_ref.dtype)
+    for ei in range(elems):
+        x = qkv_ref[ei]  # (N, 3D) in compute dtype
+        for h in range(num_heads):
+            q = x[:, h * dh:(h + 1) * dh]
+            k = x[:, dim + h * dh:dim + (h + 1) * dh]
+            s_scratch[h] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+        s = s_scratch[...]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        s_scratch[...] = e
+        for h in range(num_heads):
+            v = x[:, 2 * dim + h * dh:2 * dim + (h + 1) * dh]
+            o = jax.lax.dot_general(
+                s_scratch[h].astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # normalize the (N, Dh) output, not the (N, N) probs: Dh/N times
+            # less VPU work for the same math
+            o_ref[ei, :, h * dh:(h + 1) * dh] = (o / l[h]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
 def _block_attn_fwd(qkv, num_heads: int, scale: float, interpret: bool = False):
     b, n, three_d = qkv.shape
     dim = three_d // 3
+    elems = _pick_elems(b, dim)
     kernel = functools.partial(_block_attn_kernel, num_heads=num_heads,
-                               dim=dim, scale=scale)
+                               dim=dim, scale=scale, elems=elems)
     kwargs = {}
     if _HAVE_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -89,9 +91,9 @@ def _block_attn_fwd(qkv, num_heads: int, scale: float, interpret: bool = False):
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, n, dim), qkv.dtype),
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, n, three_d), lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
+        grid=(b // elems,),
+        in_specs=[pl.BlockSpec((elems, n, three_d), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((elems, n, dim), lambda i: (i, 0, 0)),
         scratch_shapes=[pltpu.VMEM((num_heads, n, n), jnp.float32)]
         if _HAVE_PLTPU else [],
         interpret=interpret,
@@ -100,42 +102,47 @@ def _block_attn_fwd(qkv, num_heads: int, scale: float, interpret: bool = False):
 
 
 def _block_attn_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int,
-                           dim: int, scale: float):
-    """dQKV in the same packed (N, 3D) layout, one batch element per program.
+                           dim: int, scale: float, elems: int = 1):
+    """dQKV in the same packed (N, 3D) layout.
     Standard attention backward with P recomputed in VMEM:
       dP = dO Vᵀ; dS = P ∘ (dP − rowsum(P ∘ dP)) · scale
       dQ = dS K; dK = dSᵀ Q; dV = Pᵀ dO
     """
-    x = qkv_ref[0]
-    do = do_ref[0]
     dh = dim // num_heads
-    for h in range(num_heads):
-        q = x[:, h * dh:(h + 1) * dh]
-        k = x[:, dim + h * dh:dim + (h + 1) * dh]
-        v = x[:, 2 * dim + h * dh:2 * dim + (h + 1) * dh]
-        do_h = do[:, h * dh:(h + 1) * dh]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s = s * scale
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        dp = jax.lax.dot_general(
-            do_h, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-        ds = (p * (dp - delta) * scale).astype(x.dtype)
-        dq = jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dk = jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dv = jax.lax.dot_general(
-            p.astype(do_h.dtype), do_h, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dqkv_ref[0, :, h * dh:(h + 1) * dh] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, dim + h * dh:dim + (h + 1) * dh] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, 2 * dim + h * dh:2 * dim + (h + 1) * dh] = \
-            dv.astype(dqkv_ref.dtype)
+    for ei in range(elems):
+        x = qkv_ref[ei]
+        do = do_ref[ei]
+        for h in range(num_heads):
+            q = x[:, h * dh:(h + 1) * dh]
+            k = x[:, dim + h * dh:dim + (h + 1) * dh]
+            v = x[:, 2 * dim + h * dh:2 * dim + (h + 1) * dh]
+            do_h = do[:, h * dh:(h + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            dp = jax.lax.dot_general(
+                do_h, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+            ds = (p * (dp - delta) * scale).astype(x.dtype)
+            dq = jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dv = jax.lax.dot_general(
+                p.astype(do_h.dtype), do_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dqkv_ref[ei, :, h * dh:(h + 1) * dh] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[ei, :, dim + h * dh:dim + (h + 1) * dh] = \
+                dk.astype(dqkv_ref.dtype)
+            dqkv_ref[ei, :, 2 * dim + h * dh:2 * dim + (h + 1) * dh] = \
+                dv.astype(dqkv_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
@@ -143,8 +150,9 @@ def _block_attn_bwd(qkv, do, num_heads: int, scale: float,
                     interpret: bool = False):
     b, n, three_d = qkv.shape
     dim = three_d // 3
+    elems = _pick_elems(b, dim)
     kernel = functools.partial(_block_attn_bwd_kernel, num_heads=num_heads,
-                               dim=dim, scale=scale)
+                               dim=dim, scale=scale, elems=elems)
     kwargs = {}
     if _HAVE_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -152,12 +160,12 @@ def _block_attn_bwd(qkv, do, num_heads: int, scale: float,
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, n, three_d), qkv.dtype),
-        grid=(b,),
+        grid=(b // elems,),
         in_specs=[
-            pl.BlockSpec((1, n, three_d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((elems, n, three_d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((elems, n, dim), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, n, three_d), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((elems, n, three_d), lambda i: (i, 0, 0)),
         interpret=interpret,
         **kwargs,
     )(qkv, do)
