@@ -107,6 +107,9 @@ def _leaf_meta(cfg: OptimizerConfig, names: Tuple[str, ...], leaf) -> Dict[str, 
     return {"wd": wd, "lr_scale": lr_scale, "trainable": trainable}
 
 
+_FROZEN = object()  # frozen-leaf update sentinel (identity in apply_update)
+
+
 def global_norm(tree) -> jax.Array:
     leaves = jax.tree_util.tree_leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
@@ -130,13 +133,20 @@ class GroupedOptimizer:
         }
 
     def init(self, params):
-        zeros = lambda p: jnp.zeros_like(p)
+        # Frozen leaves get a scalar placeholder instead of moment buffers:
+        # the reference never hands frozen params to the optimizer at all
+        # (optim_factory.py:184-190), and full-size zero moments both waste
+        # HBM (688 MB for a frozen ViT-B encoder) and made `update` run
+        # moment-decay arithmetic on params whose update is zeroed anyway
+        # (~3 ms/step of dead work in the cls-probe trace).
+        trainable = self.meta(params)["trainable"]
+        zeros = lambda p, t: jnp.zeros_like(p) if t else jnp.zeros((), p.dtype)
         state = {"count": jnp.zeros((), jnp.int32)}
         if self.cfg.opt in ("adamw", "adam"):
-            state["mu"] = jax.tree_util.tree_map(zeros, params)
-            state["nu"] = jax.tree_util.tree_map(zeros, params)
+            state["mu"] = jax.tree_util.tree_map(zeros, params, trainable)
+            state["nu"] = jax.tree_util.tree_map(zeros, params, trainable)
         elif self.cfg.opt in ("sgd", "momentum", "nesterov"):
-            state["mu"] = jax.tree_util.tree_map(zeros, params)
+            state["mu"] = jax.tree_util.tree_map(zeros, params, trainable)
         else:
             raise ValueError(f"Unknown optimizer {self.cfg.opt}")
         return state
@@ -172,52 +182,64 @@ class GroupedOptimizer:
             # select, not arithmetic mix: `new` may be inf/NaN on skipped steps
             return jnp.where(keep > 0, new, old)
 
+        # Frozen leaves are pure identities: scalar-placeholder moments (see
+        # init) pass through untouched and params are returned as-is — no
+        # moment decay or update arithmetic on frozen subtrees.
+        trainable = meta["trainable"]
         if cfg.opt in ("adamw", "adam"):
             b1, b2 = cfg.betas
             if cfg.opt == "adam":
                 # torch Adam applies weight decay as L2 on the gradient
                 grads = jax.tree_util.tree_map(
-                    lambda g, p, wd: g + (wd * wd_scale) * p,
-                    grads, params, meta["wd"])
+                    lambda g, p, wd, t: g + (wd * wd_scale) * p if t else g,
+                    grads, params, meta["wd"], trainable)
             mu = jax.tree_util.tree_map(
-                lambda m, g: blend(m, b1 * m + (1 - b1) * g), state["mu"], grads)
+                lambda m, g, t: blend(m, b1 * m + (1 - b1) * g) if t else m,
+                state["mu"], grads, trainable)
             nu = jax.tree_util.tree_map(
-                lambda n, g: blend(n, b2 * n + (1 - b2) * jnp.square(g)),
-                state["nu"], grads)
+                lambda n, g, t: blend(n, b2 * n + (1 - b2) * jnp.square(g))
+                if t else n,
+                state["nu"], grads, trainable)
             new_state["mu"], new_state["nu"] = mu, nu
             c1 = 1 - b1 ** jnp.maximum(count.astype(jnp.float32), 1.0)
             c2 = 1 - b2 ** jnp.maximum(count.astype(jnp.float32), 1.0)
 
-            def upd(m, n, p, wd, scale):
+            def upd(m, n, p, wd, scale, t):
+                if not t:
+                    return _FROZEN
                 step = (m / c1) / (jnp.sqrt(n / c2) + cfg.eps)
                 if cfg.opt == "adamw":
                     step = step + (wd * wd_scale) * p
                 return -lr * scale * step
 
             updates = jax.tree_util.tree_map(
-                upd, mu, nu, params, meta["wd"], meta["lr_scale"])
+                upd, mu, nu, params, meta["wd"], meta["lr_scale"], trainable)
         else:  # sgd family (torch semantics: d = g + wd*p; buf = mom*buf + d)
             nesterov = cfg.opt in ("sgd", "nesterov")  # 'sgd' == nesterov in ref
             momentum = cfg.momentum
             d = jax.tree_util.tree_map(
-                lambda g, p, wd: g + (wd * wd_scale) * p,
-                grads, params, meta["wd"])
+                lambda g, p, wd, t: g + (wd * wd_scale) * p if t else g,
+                grads, params, meta["wd"], trainable)
             mu = jax.tree_util.tree_map(
-                lambda m, dd: blend(m, momentum * m + dd), state["mu"], d)
+                lambda m, dd, t: blend(m, momentum * m + dd) if t else m,
+                state["mu"], d, trainable)
             new_state["mu"] = mu
 
-            def upd(m, dd, scale):
+            def upd(m, dd, scale, t):
+                if not t:
+                    return _FROZEN
                 v = dd + momentum * m if nesterov else m
                 return -lr * scale * v
 
-            updates = jax.tree_util.tree_map(upd, mu, d, meta["lr_scale"])
+            updates = jax.tree_util.tree_map(upd, mu, d, meta["lr_scale"],
+                                             trainable)
 
-        updates = jax.tree_util.tree_map(
-            lambda u: jnp.where(keep > 0, u, jnp.zeros_like(u)), updates)
-        updates = jax.tree_util.tree_map(
-            lambda u, t: u if t else jnp.zeros_like(u),
-            updates, meta["trainable"])
-        new_params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        def apply_update(p, u):
+            if u is _FROZEN:
+                return p
+            return p + jnp.where(keep > 0, u, jnp.zeros_like(u))
+
+        new_params = jax.tree_util.tree_map(apply_update, params, updates)
         return new_params, new_state, gnorm
 
     def stop_frozen(self, params):

@@ -90,8 +90,12 @@ def shard_state(state, mesh):
     pspecs = param_specs(state["params"])
 
     def place(tree, specs):
+        # frozen-param moments are scalar placeholders (optim.py init):
+        # replicate anything whose rank is below its param spec
         return jax.tree_util.tree_map(
-            lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), tree, specs)
+            lambda x, sp: jax.device_put(
+                x, NamedSharding(mesh, sp if x.ndim >= len(sp) else P())),
+            tree, specs)
 
     out = {"params": place(state["params"], pspecs), "opt": {}, "step":
            jax.device_put(state["step"], NamedSharding(mesh, P()))}
