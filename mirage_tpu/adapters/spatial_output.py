@@ -201,6 +201,7 @@ class SpatialOutputAdapter:
         if self.use_xattn:
             fused = (deterministic and impl in ("auto", "block")
                      and queries.shape[1] <= 512 and context_vis.shape[1] <= 512
+                     and (self.dim_tokens // self.num_heads) % 32 == 0
                      and _on_tpu())
             if fused:
                 # Each half is one Pallas kernel: LNs, q/kv projections, the

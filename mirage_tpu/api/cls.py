@@ -41,6 +41,7 @@ class MIRAGECls:
         compute_dtype=jnp.float32,
         attn_impl: str = "auto",
         head_rng: Optional[jax.Array] = None,
+        model_override: Optional[str] = None,
     ):
         assert num_classes > 0
         assert "-" not in modalities, "cls heads take a single in-domain"
@@ -49,7 +50,7 @@ class MIRAGECls:
         self.wrapper = MIRAGEWrapper(
             input_size=input_size, patch_size=patch_size, modalities=modalities,
             weights=weights, compute_dtype=compute_dtype, attn_impl=attn_impl,
-            output_adapters=False)
+            output_adapters=False, model_override=model_override)
         self.model = self.wrapper.model
         self.embed_dim = self.model.dim_tokens
         self.num_global_tokens = self.model.num_global_tokens

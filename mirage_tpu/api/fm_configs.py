@@ -91,7 +91,8 @@ class ClsFoundModel:
 
     def build_model(self, *, num_classes: int, pool: str, weights: str,
                     input_size: int = 512, patch_size: int = 32,
-                    compute_dtype=None, attn_impl: str = "auto"):
+                    compute_dtype=None, attn_impl: str = "auto",
+                    model_override=None):
         import jax.numpy as jnp
 
         from mirage_tpu.api.cls import miragecls_factory
@@ -99,7 +100,8 @@ class ClsFoundModel:
         return miragecls_factory[pool](
             num_classes=num_classes, input_size=input_size,
             patch_size=patch_size, modalities="bscan", weights=weights,
-            compute_dtype=compute_dtype or jnp.float32, attn_impl=attn_impl)
+            compute_dtype=compute_dtype or jnp.float32, attn_impl=attn_impl,
+            model_override=model_override)
 
     def build_transform(self, train: bool, input_size: int = 512,
                         fill: Optional[float] = 0.0):
@@ -148,11 +150,15 @@ class BaselineViTClsFM(ClsFoundModel):
 
     def build_model(self, *, num_classes: int, pool: str, weights: str,
                     input_size: int = 512, patch_size: int = 32,
-                    compute_dtype=None, attn_impl: str = "auto"):
+                    compute_dtype=None, attn_impl: str = "auto",
+                    model_override=None):
         import jax
         import jax.numpy as jnp
 
         from mirage_tpu.models.vit import vit_factory
+
+        assert model_override is None, \
+            "--model_override applies to MIRAGE configs only"
 
         vit = vit_factory[self.vit_name](
             num_classes=num_classes, img_size=input_size, pool=pool,

@@ -43,6 +43,7 @@ class MIRAGEWrapper:
         attn_impl: str = "auto",
         output_adapters: bool = True,
         mesh=None,
+        model_override: Optional[str] = None,
     ):
         """mesh: optional jax.sharding.Mesh for multi-chip serving — params
         shard per parallel.mesh.param_specs (Megatron-style encoder split over
@@ -72,7 +73,7 @@ class MIRAGEWrapper:
 
         self.args = args
         self.out_domains = list(args.get("out_domains", self.in_domains)) if output_adapters else []
-        model_name = args.get("model", "miragepre_base")
+        model_name = model_override or args.get("model", "miragepre_base")
         self.model = self._build_model(model_name, args, compute_dtype, attn_impl,
                                        with_outputs=output_adapters)
         self.params = convert.torch_to_params(sd, self.model)

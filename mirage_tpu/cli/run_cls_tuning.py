@@ -128,7 +128,8 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     cls = fm.build_model(num_classes=args.num_classes, pool=args.pool,
                          weights=args.weights, input_size=args.input_size,
-                         patch_size=args.patch_size, compute_dtype=dtype)
+                         patch_size=args.patch_size, compute_dtype=dtype,
+                         model_override=args.model_override)
 
     datasets = {}
     loaders = {}

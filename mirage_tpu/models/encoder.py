@@ -48,6 +48,7 @@ def encoder_apply(
     rng: Optional[jax.Array] = None,
     return_layers: Optional[Sequence[int]] = None,
     remat: bool = False,
+    grad_free: bool = False,
 ):
     """Run the block stack. If `return_layers` is given, returns
     (final_tokens, {layer_idx: tokens}) using an unrolled loop (needed by the
@@ -64,7 +65,8 @@ def encoder_apply(
             x = block_apply(layer_params(params, i), x, num_heads, impl=impl,
                             drop=drop, attn_drop=attn_drop,
                             drop_path_rate=float(dpr[i]),
-                            deterministic=deterministic, rng=r)
+                            deterministic=deterministic, rng=r,
+                            grad_free=grad_free)
             if i in return_layers:
                 outs[i] = x
         return x, outs
@@ -81,12 +83,14 @@ def encoder_apply(
         rate = xs.pop(0) if thread_rates else 0.0
         key = xs.pop(0) if not deterministic else None
         fn = partial(block_apply, num_heads=num_heads, impl=impl, drop=drop,
-                     attn_drop=attn_drop, deterministic=deterministic)
+                     attn_drop=attn_drop, deterministic=deterministic,
+                     grad_free=grad_free)
         if remat:
             fn = jax.checkpoint(
                 lambda p_, c_, rate_, key_: block_apply(
                     p_, c_, num_heads, impl=impl, drop=drop, attn_drop=attn_drop,
-                    drop_path_rate=rate_, deterministic=deterministic, rng=key_),
+                    drop_path_rate=rate_, deterministic=deterministic, rng=key_,
+                    grad_free=grad_free),
                 static_argnums=(2,) if not thread_rates else ())
             y = fn(p, carry, rate, key)
         else:

@@ -296,7 +296,8 @@ class MIRAGEModel:
                 params["encoder"], tokens, self.num_heads, depth=self.depth,
                 impl=self.attn_impl, drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                 drop_path_rate=self.drop_path_rate, deterministic=deterministic,
-                rng=rng, return_layers=tuple(range(self.depth)), remat=self.remat)
+                rng=rng, return_layers=tuple(range(self.depth)), remat=self.remat,
+                grad_free=frozen_encoder)
             encoder_tokens = [layer_outs[i] for i in range(self.depth)]
             if frozen_encoder:
                 encoder_tokens = [jax.lax.stop_gradient(t) for t in encoder_tokens]
@@ -306,7 +307,7 @@ class MIRAGEModel:
                 params["encoder"], tokens, self.num_heads, depth=self.depth,
                 impl=self.attn_impl, drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                 drop_path_rate=self.drop_path_rate, deterministic=deterministic,
-                rng=rng, remat=self.remat)
+                rng=rng, remat=self.remat, grad_free=frozen_encoder)
             if frozen_encoder:
                 final = jax.lax.stop_gradient(final)
             encoder_tokens = final

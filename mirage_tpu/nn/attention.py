@@ -95,7 +95,7 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
 
 
-def _use_block_kernel(impl, n, attn_drop, deterministic):
+def _use_block_kernel(impl, n, attn_drop, deterministic, head_dim):
     """Short-sequence fused kernel (ops/block_attention.py): covers the
     flagship inference (257 tokens) / pretraining (99) shapes where both the
     flash kernel and the XLA path lose (BASELINE.md round 1). Attention
@@ -104,6 +104,10 @@ def _use_block_kernel(impl, n, attn_drop, deterministic):
     if impl not in ("auto", "block"):
         return False
     if attn_drop > 0.0 and not deterministic:
+        return False
+    if head_dim % 32 != 0:
+        # non-32-multiple head dims hang the remote XLA pipeline around the
+        # packed kernels (observed at dh=48; 32/64 fine) — see nn/block.py
         return False
     return n <= 512 and _on_tpu()
 
@@ -118,7 +122,7 @@ def attention_apply(p, x, num_heads, *, impl="auto", attn_drop=0.0, proj_drop=0.
     if rng is not None:
         r1, r2 = jax.random.split(rng)
     qkv_flat = linear(p["qkv"], x)
-    if _use_block_kernel(impl, n, attn_drop, deterministic):
+    if _use_block_kernel(impl, n, attn_drop, deterministic, head_dim):
         from mirage_tpu.ops.block_attention import block_attention
 
         out = block_attention(qkv_flat, num_heads, scale)

@@ -30,7 +30,8 @@ def block_init(key, dim, mlp_ratio=4.0, qkv_bias=False, dtype=jnp.float32):
 
 
 def block_apply(p, x, num_heads, *, impl="auto", drop=0.0, attn_drop=0.0,
-                drop_path_rate=0.0, deterministic=True, rng: Optional[jax.Array] = None):
+                drop_path_rate=0.0, deterministic=True, rng: Optional[jax.Array] = None,
+                grad_free=False):
     r = [None] * 4
     if rng is not None:
         r = list(jax.random.split(rng, 4))
@@ -47,10 +48,15 @@ def block_apply(p, x, num_heads, *, impl="auto", drop=0.0, attn_drop=0.0,
     static_identity_regularizers = (
         drop == 0.0 and attn_drop == 0.0
         and isinstance(drop_path_rate, (int, float)) and drop_path_rate == 0.0)
+    # head_dim must be a multiple of 32: a dh=48 model (tiny dev preset
+    # before the fix) made the remote XLA pipeline hang whenever the fused
+    # kernels' scan had a consumer — dh=32 (decoders) and 64 (all reference
+    # encoder sizes) compile fine.
     fused_inference = ((deterministic
                         or (static_identity_regularizers and x.shape[1] <= 128))
                        and impl in ("auto", "block")
-                       and x.shape[1] <= 512 and _on_tpu())
+                       and x.shape[1] <= 512
+                       and (x.shape[-1] // num_heads) % 32 == 0 and _on_tpu())
     if fused_inference:
         # each half-block is one Pallas kernel (ops/block_attention.py
         # attn_half_block + ops/fused_mlp.py mlp_block): LN outputs, the
@@ -64,8 +70,9 @@ def block_apply(p, x, num_heads, *, impl="auto", drop=0.0, attn_drop=0.0,
         from mirage_tpu.ops.block_attention import attn_half_block
         from mirage_tpu.ops.fused_mlp import mlp_block
 
-        x = attn_half_block(x, p["norm1"], p["attn"], num_heads)
-        return mlp_block(x, p["norm2"], p["mlp"])
+        x = attn_half_block(x, p["norm1"], p["attn"], num_heads,
+                            grad_free=grad_free)
+        return mlp_block(x, p["norm2"], p["mlp"], grad_free=grad_free)
     h = layer_norm(p["norm1"], x)
     h = attention_apply(p["attn"], h, num_heads, impl=impl, attn_drop=attn_drop,
                         proj_drop=drop, deterministic=deterministic, rng=r[0])
@@ -73,10 +80,11 @@ def block_apply(p, x, num_heads, *, impl="auto", drop=0.0, attn_drop=0.0,
     if ((deterministic or (drop == 0.0
                            and isinstance(drop_path_rate, (int, float))
                            and drop_path_rate == 0.0))
-            and impl in ("auto", "block") and _on_tpu()):
+            and impl in ("auto", "block")
+            and (x.shape[-1] // num_heads) % 32 == 0 and _on_tpu()):
         from mirage_tpu.ops.fused_mlp import mlp_block
 
-        return mlp_block(x, p["norm2"], p["mlp"])
+        return mlp_block(x, p["norm2"], p["mlp"], grad_free=grad_free)
     h = layer_norm(p["norm2"], x)
     h = mlp_apply(p["mlp"], h, dropout_rate=drop, deterministic=deterministic, rng=r[2])
     x = x + drop_path(h, drop_path_rate, deterministic=deterministic, rng=r[3])

@@ -514,7 +514,8 @@ def _attn_half_bwd_vjp(num_heads, scale, res, g):
 _attn_half.defvjp(_attn_half_fwd_vjp, _attn_half_bwd_vjp)
 
 
-def attn_half_block(x, norm1, attn, num_heads: int, interpret: bool = False):
+def attn_half_block(x, norm1, attn, num_heads: int, interpret: bool = False,
+                    grad_free: bool = False):
     """Fused x + proj(SDPA(qkv(LN(x)))) over pytree params
     ({'scale','bias'}, {'qkv','proj'}); mirage/utils.py:251-257 semantics.
     Differentiable: Pallas backward kernel on TPU (dx + f32 parameter
@@ -528,6 +529,13 @@ def attn_half_block(x, norm1, attn, num_heads: int, interpret: bool = False):
             attn["proj"]["w"], attn["proj"]["b"])
     if interpret:
         return _attn_half_fwd(*args, num_heads, scale, interpret=True)
+    if grad_free:
+        # caller guarantees no gradient flows through (e.g. a stop_gradient
+        # right after a frozen encoder): skip the custom_vjp wrapper — a
+        # custom_vjp call sitting in the PRIMAL-ONLY region of a grad
+        # program wedges the remote TPU compiler (observed on the frozen
+        # tiny-seg train step; the plain fwd compiles fine)
+        return _attn_half_fwd(*args, num_heads, scale)
     return _attn_half(*args, num_heads, scale)
 
 

@@ -342,11 +342,15 @@ def _mlp_block_bwd_vjp(res, g):
 _mlp_block.defvjp(_mlp_block_fwd_vjp, _mlp_block_bwd_vjp)
 
 
-def mlp_block(x, norm2, mlp, interpret: bool = False):
+def mlp_block(x, norm2, mlp, interpret: bool = False, grad_free: bool = False):
     """Fused x + MLP(LN(x)) over pytree params ({'scale','bias'},
     {'fc1','fc2'}). Differentiable (backward recomputes via XLA)."""
     args = (x, norm2["scale"], norm2["bias"], mlp["fc1"]["w"], mlp["fc1"]["b"],
             mlp["fc2"]["w"], mlp["fc2"]["b"])
     if interpret:
         return _mlp_block_fwd(*args, interpret=True)
+    if grad_free:
+        # see attn_half_block: custom_vjp in a grad program's primal-only
+        # region wedges the remote TPU compiler
+        return _mlp_block_fwd(*args)
     return _mlp_block(*args)

@@ -265,3 +265,14 @@ def test_attn_half_backward_kernel_matches_xla(rng):
             np.testing.assert_allclose(
                 np.asarray(gg).reshape(np.asarray(ww).shape), np.asarray(ww),
                 atol=5e-4, rtol=1e-3, err_msg=f"{name} @ b={b} n={n}")
+
+
+def test_fused_kernel_gates_reject_unaligned_head_dim():
+    """Non-32-multiple head dims must never reach the Pallas kernels: a
+    dh=48 model hung the remote TPU compiler (XLA pipeline wedge around the
+    fused-kernel scan). All reference sizes are dh=64 (encoders) / 32
+    (decoders)."""
+    from mirage_tpu.nn.attention import _use_block_kernel
+
+    assert not _use_block_kernel("auto", 65, 0.0, True, head_dim=48)
+    assert not _use_block_kernel("block", 65, 0.0, True, head_dim=40)
