@@ -70,3 +70,31 @@ def test_cls_head_parity(reference_path, tmp_path, rng, pool):
     got = np.asarray(ours(x))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
     assert got.shape == (2, 4)
+
+
+def test_cls_model_override_builds_tiny(tmp_path):
+    """--model_override lets the cls stack load non-base/large checkpoints
+    (the FM registry otherwise pins the model size from the filename)."""
+    import jax
+
+    from mirage_tpu.adapters import PatchedInputAdapter
+    from mirage_tpu.api.cls import miragecls_factory
+    from mirage_tpu.models.mirage import MIRAGEModel
+    from mirage_tpu.train.checkpoint import save_safetensors
+
+    ins = {"bscan": PatchedInputAdapter(num_channels=1, patch_size_full=(8, 8),
+                                        image_size=64)}
+    core = MIRAGEModel(input_adapters=ins, output_adapters=None,
+                       dim_tokens=192, depth=3, num_heads=4)
+    params = core.init_params(jax.random.PRNGKey(0))
+    weights = tmp_path / "mirage-base_tiny.safetensors"
+    save_safetensors(params, core, str(weights))
+
+    cls = miragecls_factory["global"](
+        num_classes=3, input_size=64, patch_size=8, weights=str(weights),
+        model_override="miragepre_tiny")
+    assert cls.model.dim_tokens == 192 and cls.model.depth == 3
+    import numpy as np
+
+    logits = cls(np.random.default_rng(0).random((2, 1, 64, 64), np.float32))
+    assert logits.shape == (2, 3)
