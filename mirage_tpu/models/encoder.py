@@ -13,6 +13,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mirage_tpu.nn.block import block_apply, block_init
 
@@ -59,7 +60,10 @@ def encoder_apply(
     """
     if return_layers is not None:
         outs = {}
-        dpr = drop_path_rates(drop_path_rate, depth)
+        # host-side numpy, NOT jnp: under jit a jnp.linspace is a tracer and
+        # float(dpr[i]) would raise ConcretizationTypeError — this unrolled
+        # branch wants static per-layer rates
+        dpr = np.linspace(0.0, drop_path_rate, depth)
         for i in range(depth):
             r = jax.random.fold_in(rng, i) if rng is not None else None
             x = block_apply(layer_params(params, i), x, num_heads, impl=impl,

@@ -529,13 +529,13 @@ def attn_half_block(x, norm1, attn, num_heads: int, interpret: bool = False,
             attn["proj"]["w"], attn["proj"]["b"])
     if interpret:
         return _attn_half_fwd(*args, num_heads, scale, interpret=True)
-    if grad_free:
-        # caller guarantees no gradient flows through (e.g. a stop_gradient
-        # right after a frozen encoder): skip the custom_vjp wrapper — a
-        # custom_vjp call sitting in the PRIMAL-ONLY region of a grad
-        # program wedges the remote TPU compiler (observed on the frozen
-        # tiny-seg train step; the plain fwd compiles fine)
-        return _attn_half_fwd(*args, num_heads, scale)
+    # grad_free is accepted but ignored: a raw pallas fwd (no custom_vjp)
+    # inside a grad program trips JAX's jvp bookkeeping (ad.py nonzeros
+    # assert), and the custom_vjp wrapper costs nothing when the caller
+    # stop-gradients the output. (The tiny-shape compile hang this flag
+    # originally chased was the unaligned-head-dim issue, fixed by the
+    # dh % 32 gates in nn/block.py + nn/attention.py.)
+    del grad_free
     return _attn_half(*args, num_heads, scale)
 
 

@@ -349,8 +349,5 @@ def mlp_block(x, norm2, mlp, interpret: bool = False, grad_free: bool = False):
             mlp["fc2"]["w"], mlp["fc2"]["b"])
     if interpret:
         return _mlp_block_fwd(*args, interpret=True)
-    if grad_free:
-        # see attn_half_block: custom_vjp in a grad program's primal-only
-        # region wedges the remote TPU compiler
-        return _mlp_block_fwd(*args)
+    del grad_free  # accepted but ignored — see attn_half_block
     return _mlp_block(*args)

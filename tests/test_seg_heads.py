@@ -182,3 +182,39 @@ def test_seg_heads_init_shapes():
     # reference behaves identically (its output is then resized by the loss
     # caller); just assert consistent channel count here.
     assert out.shape[:2] == (B, NCLS)
+
+
+def test_dpt_training_path_jits_with_drop_path(rng):
+    """The return_all_layers (DPT) branch must trace under jit+grad with a
+    nonzero drop-path: a traced jnp.linspace float() raised
+    ConcretizationTypeError here, and the short-lived grad_free raw-kernel
+    path tripped JAX's jvp bookkeeping."""
+    import jax
+    import jax.numpy as jnp
+
+    from mirage_tpu.adapters import DPTOutputAdapter, PatchedInputAdapter
+    from mirage_tpu.models.mirage import MIRAGEModel
+
+    model = MIRAGEModel(
+        input_adapters={"bscan": PatchedInputAdapter(
+            num_channels=1, patch_size_full=(16, 16), image_size=64)},
+        output_adapters={"semseg": DPTOutputAdapter(
+            num_classes=3, stride_level=1, patch_size=16, hooks=(0, 1, 2, 3),
+            main_tasks=("bscan",), task="semseg", image_size=(64, 64),
+            head_type="semseg")},
+        dim_tokens=96, depth=4, num_heads=4, drop_path_rate=0.1)
+    params = model.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.random((2, 1, 64, 64)).astype(np.float32))
+
+    def loss(p):
+        preds = model.forward_light(p, {"bscan": x}, return_all_layers=True,
+                                    deterministic=False,
+                                    rng=jax.random.PRNGKey(1),
+                                    frozen_encoder=True)
+        return jnp.sum(preds["semseg"].astype(jnp.float32) ** 2) / 1e3
+
+    val, grads = jax.jit(jax.value_and_grad(loss))(params)
+    assert np.isfinite(float(val))
+    gsum = sum(float(jnp.sum(jnp.abs(g).astype(jnp.float32)))
+               for g in jax.tree_util.tree_leaves(grads["output_adapters"]))
+    assert np.isfinite(gsum) and gsum > 0
