@@ -6,8 +6,13 @@ Parity: mirage/output_adapters.py:22-296. Pipeline:
   task-sliced queries -> cross-attention + MLP -> optional self-attn
   transformer -> linear to C*P*P -> unpatchify to image.
 
-All gathers are fixed-shape (jnp.take_along_axis) so the decoder stays fully
-jit-compatible; the number of visible tokens is static (config-driven).
+All index ops are fixed-shape so the decoder stays fully jit-compatible (the
+number of visible tokens is static, config-driven), and token-axis
+gathers/scatters are ONE-HOT MATMULS (masking.onehot_gather_rows /
+onehot_scatter_rows — take_along_axis over a token axis degenerates to
+scalar loads on TPU, CLAUDE.md perf rule). When modality presence is
+compile-time known (`absent_tasks`), the unshuffle reduces further to
+static concat/slice — no index math at all.
 """
 
 import dataclasses

@@ -104,11 +104,11 @@ class ClsFoundModel:
             model_override=model_override)
 
     def build_transform(self, train: bool, input_size: int = 512,
-                        fill: Optional[float] = 0.0):
+                        fill: Optional[float] = 0.0, affine: bool = True):
         from mirage_tpu.data.augment import ClsTransform
 
         return ClsTransform(input_size=input_size, train=train, norm=self.norm,
-                            fill=fill)
+                            fill=fill, affine=affine)
 
     def trainable_filter(self):
         """Paths that stay trainable under linear probing

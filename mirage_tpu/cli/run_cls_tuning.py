@@ -52,6 +52,10 @@ def get_parser():
     p.add_argument("--early_stopping_delta_two", default=0.0, type=float)
     p.add_argument("--early_start_from", default=20, type=int)
     p.add_argument("--fill", default=0.0, type=float)
+    p.add_argument("--affine", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="random affine train transform "
+                        "(run_cls_tuning.py:187-191)")
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
@@ -71,10 +75,10 @@ def process_args(args):
     args.num_classes = len(classes)
     num_samples = sum(len(list(d.iterdir())) for d in classes)
     if args.batch_size is None:
-        # closest power of 2 to a quarter of the dataset, capped at 64
-        args.batch_size = min(64, 2 ** (max(int(round(num_samples * 0.25)), 1)
-                                        .bit_length() - 1))
-        args.batch_size = max(args.batch_size, 1)
+        # closest power of 2 to a quarter of the dataset, capped at 64; tiny
+        # datasets floor at 8 (run_cls_tuning.py:239-245: 2**-1 < 1 -> 8)
+        n = int(round(num_samples * 0.25)).bit_length() - 1
+        args.batch_size = min(64, 2 ** n) if n >= 0 else 8
     print(f"Classes: {args.num_classes}, samples: {num_samples}, "
           f"batch: {args.batch_size}")
     return args
@@ -95,10 +99,11 @@ def main(argv=None):
     from mirage_tpu.metrics import compute_cls_metrics
     from mirage_tpu.train import checkpoint as ckpt
     from mirage_tpu.train.early_stop import EarlyStopping
+    from mirage_tpu.parallel.mesh import make_mesh
     from mirage_tpu.train.logger import MetricLogger, append_log
     from mirage_tpu.train.optim import OptimizerConfig, create_optimizer
     from mirage_tpu.train.schedules import adjust_learning_rate
-    from mirage_tpu.train.steps import init_train_state
+    from mirage_tpu.train.steps import init_train_state, shard_batch, shard_state
 
     fm = pick_fm(cls_fm_factory, args.weights, linear_probing=args.linear_probing)
     if args.lr is None:
@@ -112,7 +117,7 @@ def main(argv=None):
     # args-md5 suffix over the model-config whitelist so runs differing only
     # in those flags get distinct dirs, while --eval reruns resolve the same
     # one (run_cls_tuning.py:314-327)
-    hash_keys = ("early_start_from", "early_stopping_delta",
+    hash_keys = ("affine", "early_start_from", "early_stopping_delta",
                  "early_stopping_delta_two", "early_stopping_epochs", "fill",
                  "weights", "input_size", "linear_probing", "lr", "min_lr",
                  "pool", "smoothing", "val_metric", "val_metric_two",
@@ -138,7 +143,8 @@ def main(argv=None):
         if not path.exists():
             continue
         tf = fm.build_transform(train=(subset == "train"),
-                                input_size=args.input_size, fill=args.fill)
+                                input_size=args.input_size, fill=args.fill,
+                                affine=args.affine)
         datasets[subset] = ImageFolder(str(path), transform=tf)
         loaders[subset] = DataLoader(
             datasets[subset], args.batch_size, shuffle=(subset == "train"),
@@ -150,19 +156,20 @@ def main(argv=None):
         weight_decay=args.weight_decay,
         frozen_paths=("model", "norm") if args.linear_probing else ()))
 
-    def loss_fn(params, images, targets, rng):
+    def loss_fn(params, images, targets, weights, rng):
         logits = cls.apply(params, images, deterministic=False, rng=rng,
                            frozen_encoder=args.linear_probing)
         loss = cross_entropy_loss(logits[..., None, None],
                                   targets[..., None, None],
-                                  label_smoothing=args.smoothing)
+                                  label_smoothing=args.smoothing,
+                                  weights=weights)
         return loss, logits
 
     @jax.jit
-    def train_step(state, images, targets, rng, lr):
+    def train_step(state, images, targets, weights, rng, lr):
         def wrapped(params, images, targets, rng):
             # frozen leaves (linear probing) get stop_gradient: no dW compute
-            return loss_fn(opt.stop_frozen(params), images, targets, rng)
+            return loss_fn(opt.stop_frozen(params), images, targets, weights, rng)
 
         (loss, logits), grads = jax.value_and_grad(wrapped, has_aux=True)(
             state["params"], images, targets, rng)
@@ -204,6 +211,30 @@ def main(argv=None):
 
     state = init_train_state(cls.params, opt)
 
+    # Data-parallel mesh (SURVEY §2.5): batch sharded over all devices,
+    # params/moments replicated (or Megatron-sharded on multi-axis meshes).
+    # Ragged final batches (drop_last=False, run_cls_tuning.py:268-272) are
+    # padded to a fixed shape with zero-weight rows — exact loss/grads, no
+    # per-shape recompiles.
+    mesh = make_mesh()
+    ndata = int(np.prod([mesh.shape[a] for a in ("data", "fsdp")
+                         if a in mesh.shape]))
+    padded_bs = -(-args.batch_size // max(ndata, 1)) * max(ndata, 1)
+
+    def pad_batch(images, targets):
+        images = np.asarray(images)
+        targets = np.asarray(targets)
+        n = images.shape[0]
+        w = np.zeros((padded_bs,), np.float32)
+        w[:n] = 1.0
+        if n < padded_bs:
+            pad = padded_bs - n
+            images = np.concatenate(
+                [images, np.broadcast_to(images[:1], (pad,) + images.shape[1:])])
+            targets = np.concatenate(
+                [targets, np.broadcast_to(targets[:1], (pad,) + targets.shape[1:])])
+        return images, targets, w
+
     if args.eval or args.save_predictions:
         state = ckpt.load_best_checkpoint(args.output_dir, state)
         stats = evaluate(state["params"], loaders["test"], "Best", mode="Test",
@@ -220,6 +251,7 @@ def main(argv=None):
         greater_is_better_two=args.val_metric_two != "loss",
         start_from=args.early_start_from)
 
+    state = shard_state(state, mesh)
     steps_per_epoch = len(loaders["train"])
     if args.max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
@@ -240,16 +272,20 @@ def main(argv=None):
                                       args.epochs, args.warmup_epochs)
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1),
                                      epoch * steps_per_epoch + step)
+            n_real = np.asarray(images).shape[0]
+            images, targets, weights = pad_batch(images, targets)
+            sb = shard_batch({"images": images, "targets": targets,
+                              "weights": weights}, mesh)
             state, loss, logits, gnorm = train_step(
-                state, jnp.asarray(images), jnp.asarray(targets), rng, lr)
+                state, sb["images"], sb["targets"], sb["weights"], rng, lr)
             loss = float(loss)
             if not np.isfinite(loss):
                 print("Non-finite training loss; early stopping")
                 stop = True
                 break
             logger.update(loss=loss, lr=lr, grad_norm=float(gnorm))
-            preds_ep.append(np.asarray(logits).argmax(1))
-            tgts_ep.append(np.asarray(targets))
+            preds_ep.append(np.asarray(logits)[:n_real].argmax(1))
+            tgts_ep.append(np.asarray(targets)[:n_real])
         if stop:
             break
         from sklearn.metrics import balanced_accuracy_score, f1_score

@@ -60,6 +60,16 @@ def get_parser():
     p.add_argument("--layer_decay", default=0.75, type=float)
     p.add_argument("--freeze_encoder", default=True, type=str2bool)
     p.add_argument("--no_freeze_encoder", dest="freeze_encoder", action="store_false")
+    p.add_argument("--freeze_input_adapters", default=False, action="store_true",
+                   help="with --freeze_encoder: also freeze input adapters + "
+                        "global tokens and skip the encoder backward entirely "
+                        "(fast path, ~15%% step time; deviates from the "
+                        "reference, which trains adapters through the frozen "
+                        "encoder — optim_factory.py:184-190 freezes encoder "
+                        "blocks only)")
+    p.add_argument("--learnable_pos_emb", default=False, type=str2bool)
+    p.add_argument("--no_learnable_pos_emb", dest="learnable_pos_emb",
+                   action="store_false")
     p.add_argument("--remat", default=False, action="store_true",
                    help="encoder activation checkpointing (full-FT memory)")
     p.add_argument("--weights", required=True, type=str)
@@ -120,6 +130,10 @@ def process_args(args):
     name = Path(args.weights).stem
     if args.freeze_encoder:
         name += "_frozen"
+    if args.freeze_encoder and args.freeze_input_adapters:
+        name += "_fia"  # non-reference fast path: distinct checkpoint dir
+    if args.learnable_pos_emb:
+        name += "_lpe"
     name += f"_{args.output_adapter}_{args.loss}"
     if args.minmax:
         name += "_minmax"
@@ -151,7 +165,8 @@ def build_model(args, fm):
         else:
             input_adapters[d] = PatchedInputAdapter(
                 num_channels=c["channels"], stride_level=c["stride_level"],
-                patch_size_full=args.patch_size[d], image_size=args.input_size[d])
+                patch_size_full=args.patch_size[d], image_size=args.input_size[d],
+                learnable_pos_emb=args.learnable_pos_emb)
 
     main_tasks = tuple(args.decoder_main_tasks.split("-"))
     head_factory = {
@@ -256,11 +271,20 @@ def main(argv=None):
     params = model.init_params(jax.random.PRNGKey(args.seed))
     params = fm.load(params, model, args.weights)
 
+    # Reference freeze_encoder freezes ONLY the encoder blocks
+    # (optim_factory.py:184-190): input adapters and global tokens keep
+    # training, their gradients flowing through the frozen blocks. The
+    # opt-in --freeze_input_adapters fast path freezes those too, which
+    # lets forward_light stop-grad at the encoder OUTPUT and skip the
+    # encoder backward scan altogether.
+    full_freeze = args.freeze_encoder and args.freeze_input_adapters
     opt = create_optimizer(OptimizerConfig(
         opt=args.opt, betas=tuple(args.opt_betas), eps=args.opt_eps,
         weight_decay=args.weight_decay, clip_grad=args.clip_grad,
         layer_decay=args.layer_decay if args.layer_decay < 1.0 else None,
-        num_layers=model.depth, freeze_encoder=args.freeze_encoder))
+        num_layers=model.depth, freeze_encoder=args.freeze_encoder,
+        frozen_paths=("input_adapters", "global_tokens") if full_freeze else (),
+        learnable_pos_emb=args.learnable_pos_emb))
 
     mesh = make_mesh()
     return_all_layers = args.output_adapter == "dpt"
@@ -271,7 +295,7 @@ def main(argv=None):
         preds = model.forward_light(params_, inputs,
                                     return_all_layers=return_all_layers,
                                     deterministic=False, rng=rng,
-                                    frozen_encoder=args.freeze_encoder)
+                                    frozen_encoder=full_freeze)
         logits = preds["semseg"].astype(jnp.float32)
         if logits.shape[-2:] != batch["semseg"].shape[-2:]:
             from mirage_tpu.nn.resize import resize2d

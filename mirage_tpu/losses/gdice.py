@@ -16,9 +16,11 @@ import jax.numpy as jnp
 
 
 def cross_entropy_loss(logits, target, *, ignore_index: Optional[int] = None,
-                       label_smoothing: float = 0.0):
+                       label_smoothing: float = 0.0, weights=None):
     """logits: (B, C, *spatial) f32; target: (B, *spatial) int.
-    Mean over non-ignored pixels (torch CrossEntropyLoss semantics)."""
+    Mean over non-ignored pixels (torch CrossEntropyLoss semantics).
+    weights: optional per-element weights broadcastable to target's shape
+    (e.g. zeros for batch-padding rows); loss = sum(w*nll)/sum(w)."""
     c = logits.shape[1]
     logits = jnp.moveaxis(logits, 1, -1).astype(jnp.float32)  # (B, *s, C)
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -30,8 +32,15 @@ def cross_entropy_loss(logits, target, *, ignore_index: Optional[int] = None,
     if label_smoothing > 0.0:
         smooth = -logp.mean(axis=-1)
         nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
-    if ignore_index is not None:
-        valid = (target != ignore_index).astype(jnp.float32)
+    if ignore_index is not None or weights is not None:
+        valid = jnp.ones(nll.shape, jnp.float32)
+        if ignore_index is not None:
+            valid = valid * (target != ignore_index).astype(jnp.float32)
+        if weights is not None:
+            w = weights.astype(jnp.float32)
+            if w.ndim == 1:  # per-sample: align to the leading batch axis
+                w = w.reshape((w.shape[0],) + (1,) * (nll.ndim - 1))
+            valid = valid * jnp.broadcast_to(w, nll.shape)
         return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
     return jnp.mean(nll)
 

@@ -69,9 +69,14 @@ def generate_random_masks(
     ids_keep = ids_shuffle[:, :num_encoded_tokens]
 
     # Re-binarize so exactly num_encoded_tokens are visible (rounding fixup,
-    # model.py:229-233)
-    mask_all = jnp.ones_like(mask_all).at[:, :num_encoded_tokens].set(0)
-    mask_all = jnp.take_along_axis(mask_all, ids_restore, axis=1)
+    # model.py:229-233). take_along_axis is deliberate here — exempt from the
+    # one-hot-matmul rule: the operand is a (B, N) int mask with NO feature
+    # dim (each gathered element is one int32, ~0.8 MB total at the pretrain
+    # config), so there is no 128-byte-lane waste to avoid, while the one-hot
+    # form would build a (B, N, N) intermediate.
+    mask_all = jnp.take_along_axis(
+        jnp.ones_like(mask_all).at[:, :num_encoded_tokens].set(0),
+        ids_restore, axis=1)
     import numpy as np
 
     splits = list(np.cumsum(np.asarray(num_tokens_per_task))[:-1])

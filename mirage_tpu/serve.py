@@ -22,6 +22,7 @@ Protocol (all bodies are npz — `np.savez` bytes):
 
 from __future__ import annotations
 
+import collections
 import io
 import json
 import threading
@@ -31,12 +32,27 @@ from typing import Callable, Dict, List, Optional
 
 import numpy as np
 
+# stats window: bounds memory/CPU on long-running servers
+STATS_MAXLEN = 10_000
+
+
+def _batch_signature(sample: Dict[str, np.ndarray]):
+    """Modality-set + per-key shape/dtype signature. Only requests with
+    identical signatures may be stacked into one model call: batch[0]'s keys
+    would otherwise silently drop another request's extra modalities (wrong
+    prediction) or crash the whole batch on a missing key / np.stack shape
+    mismatch."""
+    return tuple(sorted(
+        (k, tuple(np.shape(v)), str(np.asarray(v).dtype))
+        for k, v in sample.items()))
+
 
 class _Pending:
-    __slots__ = ("sample", "event", "result", "error", "t_submit")
+    __slots__ = ("sample", "sig", "event", "result", "error", "t_submit")
 
     def __init__(self, sample):
         self.sample = sample
+        self.sig = _batch_signature(sample)
         self.event = threading.Event()
         self.result = None
         self.error: Optional[BaseException] = None
@@ -61,8 +77,10 @@ class BatchingQueue:
         self._queue: List[_Pending] = []
         self._cond = threading.Condition()
         self._stop = False
-        self.batch_sizes: List[int] = []
-        self.latencies_s: List[float] = []
+        self.batch_sizes = collections.deque(maxlen=STATS_MAXLEN)
+        self.latencies_s = collections.deque(maxlen=STATS_MAXLEN)
+        self.n_requests = 0
+        self.n_batches = 0
         self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._thread.start()
 
@@ -81,7 +99,9 @@ class BatchingQueue:
             raise TimeoutError("model batch did not complete in time")
         if p.error is not None:
             raise p.error
-        self.latencies_s.append(time.perf_counter() - p.t_submit)
+        with self._cond:
+            self.n_requests += 1
+            self.latencies_s.append(time.perf_counter() - p.t_submit)
         return p.result
 
     def close(self):
@@ -104,8 +124,17 @@ class BatchingQueue:
                 if remaining <= 0:
                     break
                 self._cond.wait(timeout=remaining)
-            batch = self._queue[: self.max_batch]
-            del self._queue[: len(batch)]
+            # Take only requests whose (modalities, shapes, dtypes) signature
+            # matches the head of the queue; differently-shaped requests stay
+            # queued and form the next batch.
+            sig = self._queue[0].sig
+            batch, rest = [], []
+            for p in self._queue:
+                if p.sig == sig and len(batch) < self.max_batch:
+                    batch.append(p)
+                else:
+                    rest.append(p)
+            self._queue[:] = rest
             return batch
 
     def _dispatch_loop(self):
@@ -125,6 +154,7 @@ class BatchingQueue:
                 for p in batch:
                     p.error = e
             finally:
+                self.n_batches += 1
                 self.batch_sizes.append(len(batch))
                 for p in batch:
                     p.event.set()
@@ -162,16 +192,19 @@ class MIRAGEServer:
     # -- stats --------------------------------------------------------------
 
     def stats(self) -> Dict:
-        sizes = [s for q in self.queues.values() for s in q.batch_sizes]
-        lats = sorted(s for q in self.queues.values() for s in q.latencies_s)
+        """Counters are lifetime totals; latency percentiles / mean batch are
+        over the last STATS_MAXLEN samples per queue (bounded memory)."""
+        sizes = [s for q in self.queues.values() for s in list(q.batch_sizes)]
+        lats = sorted(s for q in self.queues.values()
+                      for s in list(q.latencies_s))
 
         def pct(p):
             return round(lats[min(len(lats) - 1, int(p * len(lats)))] * 1e3, 3) \
                 if lats else None
 
         return {
-            "requests": len(lats),
-            "batches": len(sizes),
+            "requests": sum(q.n_requests for q in self.queues.values()),
+            "batches": sum(q.n_batches for q in self.queues.values()),
             "mean_batch": round(sum(sizes) / len(sizes), 2) if sizes else None,
             "latency_ms": {"p50": pct(0.50), "p95": pct(0.95),
                            "max": round(lats[-1] * 1e3, 3) if lats else None},

@@ -75,6 +75,40 @@ def latest_checkpoint(output_dir: str) -> Optional[str]:
     return max(candidates)[1]
 
 
+def _reconcile_opt_moments(restored, template):
+    """Align optimizer moment layouts across freeze-flag changes: frozen
+    leaves hold scalar placeholder moments (optim.py init), so a checkpoint
+    saved with different frozen_paths/freeze_encoder has full-size moments
+    where the template expects scalars (collapse: the leaf is frozen now, its
+    moments are dead) or scalars where the template expects full-size (expand
+    to zeros: a freshly-unfrozen leaf starts with empty moments, exactly as
+    the reference does when handing it to the optimizer for the first time)."""
+    def fix(r, t):
+        if np.shape(r) == t.shape:
+            return r
+        if t.ndim == 0:
+            return np.zeros((), np.asarray(r).dtype)
+        if np.ndim(r) == 0:
+            return np.zeros(t.shape, t.dtype)
+        raise ValueError(
+            f"moment shape mismatch beyond freeze-layout: {np.shape(r)} vs "
+            f"{t.shape}")
+
+    # params must match exactly — only the moment layout may drift
+    jax.tree_util.tree_map(
+        lambda r, t: (_ for _ in ()).throw(ValueError(
+            f"param shape mismatch: {np.shape(r)} vs {t.shape}"))
+        if np.shape(r) != t.shape else r,
+        restored["params"], template["params"])
+    out = dict(restored)
+    out["opt"] = dict(restored["opt"])
+    for k in ("mu", "nu"):
+        if k in out["opt"] and k in template.get("opt", {}):
+            out["opt"][k] = jax.tree_util.tree_map(
+                fix, out["opt"][k], template["opt"][k])
+    return out
+
+
 def load_checkpoint(path: str, state_template, *, partial: bool = False):
     """Restore a checkpoint into the structure (and shardings) of
     ``state_template``. Returns (state, meta_dict). partial=True restores a
@@ -90,7 +124,18 @@ def load_checkpoint(path: str, state_template, *, partial: bool = False):
         full = ckptr.restore(path)
         state = {k: full[k] for k in state_template}
     else:
-        state = ckptr.restore(path, abstract)
+        try:
+            state = ckptr.restore(path, abstract)
+        except BaseException:
+            # moment-layout drift (frozen-leaf scalar placeholders vs
+            # full-size buffers): restore raw, then reconcile — re-raises
+            # on any mismatch that is not a freeze-layout change
+            raw = ckptr.restore(path)
+            if not (isinstance(raw, dict) and isinstance(state_template, dict)
+                    and {"params", "opt"} <= raw.keys()
+                    and {"params", "opt"} <= state_template.keys()):
+                raise
+            state = _reconcile_opt_moments(raw, state_template)
     meta_path = os.path.join(path, "meta.json")
     meta = {}
     if os.path.exists(meta_path):

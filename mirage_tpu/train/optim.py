@@ -59,6 +59,7 @@ class OptimizerConfig:
     num_layers: int = 12
     freeze_encoder: bool = False
     frozen_paths: Tuple[str, ...] = ()   # extra frozen subtrees by name
+    learnable_pos_emb: bool = False      # train pos_emb (ref --learnable_pos_emb)
     decoder_decay: Optional[float] = None
     clip_grad: Optional[float] = None
     skip_grad: Optional[float] = None    # skip update if grad norm >= this
@@ -80,10 +81,10 @@ def _leaf_meta(cfg: OptimizerConfig, names: Tuple[str, ...], leaf) -> Dict[str, 
         # train step: every reference seg config runs use_bn=False.)
         trainable = False
         wd = 0.0
-    if "pos_emb" in names:
+    if "pos_emb" in names and not cfg.learnable_pos_emb:
         # fixed sincos posembs: excluded from the optimizer in the reference
-        # (requires_grad=False). Learnable-posemb configs can re-enable via
-        # frozen_paths override if needed.
+        # (requires_grad=False) unless --learnable_pos_emb
+        # (run_seg_tuning.py:100-104, input_adapters.py:64-69).
         trainable = False
     if cfg.freeze_encoder and names[0] == "encoder":
         trainable = False

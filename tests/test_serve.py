@@ -135,3 +135,42 @@ def test_serve_cli_model_fns_shapes():
         == (3, 5, 16)
     with pytest.raises(ValueError, match="unknown modality"):
         rec({"slo": np.zeros((1, 8, 8), np.float32)})
+
+
+def test_batching_queue_buckets_by_signature():
+    """Requests with different modality sets / shapes are never stacked into
+    one model call (ADVICE r2: batch[0]'s keys silently dropped other
+    requests' modalities or crashed the whole batch)."""
+    from mirage_tpu.serve import BatchingQueue
+
+    seen = []
+
+    def model(batch):
+        seen.append(tuple(sorted(batch)))
+        time.sleep(0.02)  # force the mixed requests to queue up together
+        return {k: v + 1.0 for k, v in batch.items()}
+
+    q = BatchingQueue(model, max_batch=8, max_wait_ms=30)
+    results = {}
+
+    def worker(i):
+        if i % 2:
+            sample = {"bscan": np.full((4, 4), float(i), np.float32),
+                      "slo": np.full((4, 4), float(i), np.float32)}
+        else:
+            sample = {"bscan": np.full((2, 2), float(i), np.float32)}
+        results[i] = (sample, q.submit(sample))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    q.close()
+
+    for i, (sample, out) in results.items():
+        assert set(out) == set(sample), (i, set(out), set(sample))
+        for k, v in sample.items():
+            np.testing.assert_allclose(out[k], v + 1.0)
+    # every model call saw a homogeneous batch
+    assert all(s in ((("bscan",)), ("bscan", "slo")) for s in seen)
