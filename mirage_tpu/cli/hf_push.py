@@ -50,6 +50,65 @@ def export_orbax(ckpt_dir: str, out_path: str):
     return out_path
 
 
+def model_card(size: str) -> str:
+    """Model-card README for a pushed repo (the reference uploads
+    hf/README.md alongside config+weights, hf/helper_hf.py:56-62; without it
+    a pushed repo is undocumented)."""
+    name = f"MIRAGE-{size.capitalize()}"
+    vit = "ViT-Base" if size == "base" else "ViT-Large"
+    return f"""---
+license: cc-by-nc-nd-4.0
+library_name: jax
+pipeline_tag: image-feature-extraction
+tags:
+- OCT
+- SLO
+- retinal-imaging
+- classification
+- segmentation
+- jax
+---
+
+# {name} (TPU / JAX)
+
+Weights of the {name} multimodal retinal-imaging foundation model
+(based on {vit}), from "MIRAGE: Multimodal foundation model and benchmark
+for comprehensive retinal OCT image analysis" (arXiv:2506.08900), in the
+TPU-native JAX distribution (`mirage_tpu`). The tensor layout matches the
+PyTorch reference key namespace, so these weights also load in the original
+repo (https://github.com/j-morano/MIRAGE).
+
+## Models
+
+Model | Resolution | Repo
+--- | --- | ---
+MIRAGE-Base  | 512x512 | j-morano/MIRAGE-Base
+MIRAGE-Large | 512x512 | j-morano/MIRAGE-Large
+
+## Usage
+
+Only the self-contained `hf.py` (jax + numpy) is needed:
+
+```python
+import numpy as np
+from mirage_tpu.hf import MIRAGEWrapper  # or: from hf import MIRAGEWrapper
+
+model = MIRAGEWrapper.from_pretrained("j-morano/{name}", size="{size}")
+bscan = np.zeros((1, 1, 512, 512), np.float32)  # [0, 1] grayscale
+slo = np.zeros((1, 1, 512, 512), np.float32)
+features = model({{"bscan": bscan, "slo": slo}})  # (B, 513, D) tokens
+```
+
+For reconstruction decoders, fine-tuning, and the full benchmark pipeline
+see the `mirage_tpu` package (`api/wrapper.py`, `cli/`).
+
+## Citation
+
+Morano et al., "MIRAGE: Multimodal foundation model and benchmark for
+comprehensive retinal OCT image analysis", arXiv:2506.08900, 2025.
+"""
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("MIRAGE HF push/load")
     p.add_argument("-t", "--task", choices=["push", "load", "export"], required=True)
@@ -90,7 +149,10 @@ def main(argv=None):
         save_file(sd, os.path.join(out_dir, "model.safetensors"))
         with open(os.path.join(out_dir, "config.json"), "w") as f:
             json.dump(config, f, indent=2)
-        print(f"Wrote {out_dir}/model.safetensors ({len(sd)} tensors)")
+        with open(os.path.join(out_dir, "README.md"), "w") as f:
+            f.write(model_card(args.size))
+        print(f"Wrote {out_dir}/model.safetensors ({len(sd)} tensors) "
+              "+ config.json + README.md")
         if args.hub:
             from huggingface_hub import HfApi
 
