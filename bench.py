@@ -4,8 +4,10 @@
 Headline workload: MIRAGE-Large inference on the mirage_wrapper.py path
 (bscan present at 512²/p32; slo + 13-class layermap reconstructed by the
 three SpatialOutputAdapter decoders), bf16 compute and bf16-resident params,
-batch 64 (measured optimum on v5e with the round-2 fused kernels:
-32->668, 48->693, 64->700, 96->686, 128->681 img/s; round-1 XLA-path
+batch 256 (round-3 sweeps: pre-exp2 kernels 64->857, 96->868, 128->876,
+192->881, 256->884.5, 320->884.6 — the round-2b absent-modality skip +
+half-block fusion moved the optimum up from batch 64; with the
+exp2-softmax/one-pass-LN kernels 64->871, 256->894; round-1 XLA-path
 optimum was batch 48 at 485).
 
 Timing: dispatches are chained through a scalar accumulator and synced once
@@ -21,14 +23,32 @@ vs_baseline = measured / 890 (so the >2x A100 north star reads as >2.0).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
 A100_EST_IMG_PER_SEC = 890.0
-BATCH = 64
+BATCH = 256
 ITERS = 20
+
+
+def main_all():
+    """--all: headline + the four training workloads (one JSON line each)
+    and a BENCH_TRAIN.json artifact for round-over-round regression
+    visibility (VERDICT r2 weak #3)."""
+    import os
+
+    main()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scripts.bench_train import run
+
+    rows = run("all")
+    for r in rows:
+        print(json.dumps(r))
+    with open("BENCH_TRAIN.json", "w") as f:
+        json.dump(rows, f, indent=1)
 
 
 def main():
@@ -86,4 +106,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main_all() if "--all" in sys.argv[1:] else main()

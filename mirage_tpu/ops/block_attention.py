@@ -36,6 +36,10 @@ re-runs the forward, so the recompute tripled the attention work).
 
 import functools
 
+# exp via the native exp2 (jnp.exp lowers to a slower path on this target;
+# measured ~0.03 ms/layer on the flagship attention half, scripts/bench_vpu.py)
+_LOG2E = 1.4426950408889634
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -64,7 +68,7 @@ def _block_attn_kernel(qkv_ref, o_ref, s_scratch, *, num_heads: int,
                 preferred_element_type=jnp.float32) * scale
         s = s_scratch[...]
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
+        e = jnp.exp2((s - m) * _LOG2E)
         l = jnp.sum(e, axis=-1, keepdims=True)
         s_scratch[...] = e
         for h in range(num_heads):
@@ -122,7 +126,7 @@ def _block_attn_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int,
                 preferred_element_type=jnp.float32)
             s = s * scale
             m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
+            e = jnp.exp2((s - m) * _LOG2E)
             p = e / jnp.sum(e, axis=-1, keepdims=True)
             dp = jax.lax.dot_general(
                 do_h, v, (((1,), (1,)), ((), ())),
@@ -222,7 +226,9 @@ def _attn_half_kernel(x_ref, g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
         x = x_ref[ei]
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        # one-pass moments (E[x^2] - mean^2): one fewer sweep over (N, D);
+        # f32 accumulation keeps the cancellation error ~eps*(1 + mean^2/var)
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - jnp.square(mean)
         y = (x32 - mean) * jax.lax.rsqrt(var + 1e-6)
         y = y * g_ref[...].astype(jnp.float32) + be_ref[...].astype(jnp.float32)
         y = y.astype(x.dtype)
@@ -240,7 +246,7 @@ def _attn_half_kernel(x_ref, g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
                 preferred_element_type=jnp.float32) * scale
         s = s_scratch[...]  # phase 2: one softmax over all heads (unnormalized)
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
+        e = jnp.exp2((s - m) * _LOG2E)
         l = jnp.sum(e, axis=-1, keepdims=True)
         s_scratch[...] = e
         for h in range(num_heads):  # phase 3: all PV matmuls, normalized
@@ -318,7 +324,7 @@ def _attn_half_bwd_rows(x, dy, g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
     (dx, dgamma, dbeta, dwqkv, dbqkv, dwproj, dbproj); param grads f32."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - jnp.square(mean)
     inv = jax.lax.rsqrt(var + 1e-6)
     yhat = (x32 - mean) * inv
     g32 = g_ref[...].astype(jnp.float32)
@@ -338,7 +344,7 @@ def _attn_half_bwd_rows(x, dy, g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
             preferred_element_type=jnp.float32) * scale
     s = s_scratch[...]
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
+    e = jnp.exp2((s - m) * _LOG2E)
     l = jnp.sum(e, axis=-1, keepdims=True)
     s_scratch[...] = e / l  # normalized probabilities P
     for h in range(num_heads):
@@ -555,7 +561,7 @@ def _xattn_half_kernel(x_ref, ctx_ref, gq_ref, bq_ref, gc_ref, bc_ref,
     def ln(t, g_ref, b_ref):
         t32 = t.astype(jnp.float32)
         mean = jnp.mean(t32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(t32 - mean), axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(t32), axis=-1, keepdims=True) - jnp.square(mean)
         y = (t32 - mean) * jax.lax.rsqrt(var + 1e-6)
         return (y * g_ref[...].astype(jnp.float32)
                 + b_ref[...].astype(jnp.float32)).astype(t.dtype)
@@ -579,7 +585,7 @@ def _xattn_half_kernel(x_ref, ctx_ref, gq_ref, bq_ref, gc_ref, bc_ref,
                 preferred_element_type=jnp.float32) * scale
         s = s_scratch[...]  # phase 2: one softmax over all heads
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
+        e = jnp.exp2((s - m) * _LOG2E)
         l = jnp.sum(e, axis=-1, keepdims=True)
         s_scratch[...] = e
         for h in range(num_heads):  # phase 3: all PV matmuls

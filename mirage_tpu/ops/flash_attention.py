@@ -22,6 +22,8 @@ Design notes (TPU v5e):
 import functools
 
 import jax
+
+_LOG2E = 1.4426950408889634  # exp via native exp2
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
@@ -46,7 +48,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, scale: float):
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2((s - m) * _LOG2E)
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -132,7 +134,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
+    e = jnp.exp2((s - m) * _LOG2E)
     p = e / jnp.sum(e, axis=-1, keepdims=True)  # (bq, nk) f32
 
     dp = jax.lax.dot_general(

@@ -35,6 +35,7 @@ except Exception:  # pragma: no cover
     _HAVE_PLTPU = False
 
 _SQRT2 = 1.4142135623730951
+_LOG2E = 1.4426950408889634
 
 
 def _erf(x):
@@ -49,7 +50,7 @@ def _erf(x):
     ax = jnp.abs(x)
     t = 1.0 / (1.0 + p * ax)
     poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
-    return s * (1.0 - poly * jnp.exp(-ax * ax))
+    return s * (1.0 - poly * jnp.exp2(-(ax * ax) * _LOG2E))
 
 
 def _mlp_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
@@ -58,7 +59,8 @@ def _mlp_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
         x = x[0]
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    # one-pass moments; see block_attention.py note
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - jnp.square(mean)
     y = (x32 - mean) * jax.lax.rsqrt(var + 1e-6)
     y = y * g_ref[...].astype(jnp.float32) + be_ref[...].astype(jnp.float32)
     y = y.astype(x.dtype)
@@ -154,7 +156,8 @@ def _mlp_bwd_rows(x, dy, g_ref, be_ref, w1_ref, b1_ref, w2_ref):
     (dx, dgamma, dbeta, dw1, db1, dw2, db2) — grads in f32."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    # one-pass moments; see block_attention.py note
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - jnp.square(mean)
     inv = jax.lax.rsqrt(var + 1e-6)
     yhat = (x32 - mean) * inv
     g32 = g_ref[...].astype(jnp.float32)
@@ -173,7 +176,7 @@ def _mlp_bwd_rows(x, dy, g_ref, be_ref, w1_ref, b1_ref, w2_ref):
     dact = jax.lax.dot_general(dy, w2c, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     # d/dh [0.5 h (1+erf(h/sqrt2))] = 0.5 (1+erf) + h * N(h; 0,1)
-    dgelu = 0.5 * (1.0 + e) + h * jnp.exp(-0.5 * h * h) * 0.3989422804014327
+    dgelu = 0.5 * (1.0 + e) + h * jnp.exp2(-0.5 * _LOG2E * h * h) * 0.3989422804014327
     dh = dact * dgelu
     db1 = jnp.sum(dh, axis=0, keepdims=True)
     dh_c = dh.astype(x.dtype)

@@ -1,8 +1,15 @@
 """Training-step benchmarks at the reference configs (BASELINE.md rows):
 pretraining (ViT-B, batch 256, 98/768 tokens, remat), seg tuning (ViT-B
-frozen, 1024²/p32, ConvNeXt, batch 8), cls tuning (ViT-B, 512²/p32, global
+frozen, 1024²/p32, ConvNeXt, batch 8 — both the reference-parity freeze,
+where input adapters train through the frozen encoder, and the
+--freeze_input_adapters fast path), cls tuning (ViT-B, 512²/p32, global
 pool, batch 64, probe + full FT). Timings: chained dispatch, one host sync.
+
+--json PATH writes one JSON object per workload (list) for the round
+artifacts (BENCH_TRAIN_r*.json); stdout always gets the human lines.
 """
+import argparse
+import json
 import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
@@ -18,6 +25,13 @@ def timestep(step, state, batch, iters=10, lr=1e-4):
         state, m = step(state, batch, jax.random.fold_in(jax.random.PRNGKey(1), i), lr, 1.0)
     float(m["loss"])
     return (time.perf_counter() - t0) / iters
+
+
+def _row(metric, B, dt):
+    row = {"metric": metric, "value": round(B / dt, 2), "unit": "images/sec",
+           "ms_per_step": round(dt * 1e3, 2), "batch": B}
+    print(f"{metric}: {dt*1e3:.1f} ms/step  {B/dt:.1f} img/s", flush=True)
+    return row
 
 
 def bench_pretrain():
@@ -44,11 +58,10 @@ def bench_pretrain():
              "slo": jnp.asarray(rng.random((B, 1, 512, 512)), jnp.float32),
              "bscanlayermap": jnp.asarray(rng.integers(0, 13, (B, 128, 128)), jnp.int32)}
     state = init_train_state(params, opt)
-    dt = timestep(step, state, batch)
-    print(f"pretrain ViT-B B={B}: {dt*1e3:.1f} ms/step  {B/dt:.1f} img/s", flush=True)
+    return _row("pretrain_vitb_img_per_sec", B, timestep(step, state, batch))
 
 
-def bench_seg():
+def _seg_setup(parity):
     from mirage_tpu.adapters import ConvNeXtAdapter, PatchedInputAdapter
     from mirage_tpu.losses import ce_gdice_loss
     from mirage_tpu.models.mirage import MIRAGEModel
@@ -67,29 +80,34 @@ def bench_seg():
     params = model.init_params(jax.random.PRNGKey(0))
     opt = create_optimizer(OptimizerConfig(
         opt="adamw", weight_decay=0.05, layer_decay=0.75,
-        num_layers=model.depth, freeze_encoder=True))
+        num_layers=model.depth, freeze_encoder=True,
+        frozen_paths=() if parity else ("input_adapters", "global_tokens")))
 
     def loss_fn(p, batch, rng):
         preds = model.forward_light(p, {"bscan": batch["bscan"]},
                                     deterministic=False, rng=rng,
-                                    frozen_encoder=True)
+                                    frozen_encoder=not parity)
         return ce_gdice_loss(preds["semseg"].astype(jnp.float32),
                              batch["semseg"]), {}
 
     step = make_train_step(loss_fn, opt)
+    state = init_train_state(params, opt)
+    return step, state
+
+
+def bench_seg(parity):
     B = 8
+    step, state = _seg_setup(parity)
     rng = np.random.default_rng(0)
     batch = {"bscan": jnp.asarray(rng.random((B, 1, 1024, 1024)), jnp.float32),
              "semseg": jnp.asarray(rng.integers(0, 8, (B, 1024, 1024)), jnp.int32)}
-    state = init_train_state(params, opt)
-    dt = timestep(step, state, batch)
-    print(f"seg ViT-B frozen B={B}: {dt*1e3:.1f} ms/step  {B/dt:.1f} img/s", flush=True)
+    tag = "seg_vitb_frozen_img_per_sec" if parity \
+        else "seg_vitb_fullfreeze_img_per_sec"
+    return _row(tag, B, timestep(step, state, batch))
 
 
 def bench_cls(linear_probing, remat):
     from mirage_tpu.losses.gdice import cross_entropy_loss
-    from mirage_tpu.models.vit import vit_factory  # noqa: F401  (not used)
-    from mirage_tpu.api.cls import MIRAGECls, miragecls_factory  # noqa
     from mirage_tpu.adapters import PatchedInputAdapter
     from mirage_tpu.models.mirage import MIRAGEModel
     from mirage_tpu.nn.layers import layer_norm, layer_norm_init, linear
@@ -134,17 +152,31 @@ def bench_cls(linear_probing, remat):
     batch = {"x": jnp.asarray(rng.random((B, 1, 512, 512)), jnp.float32),
              "y": jnp.asarray(rng.integers(0, 5, (B,)), jnp.int32)}
     state = init_train_state(params, opt)
-    dt = timestep(step, state, batch)
-    tag = "probe" if linear_probing else "full-FT"
-    print(f"cls ViT-B {tag} B={B}: {dt*1e3:.1f} ms/step  {B/dt:.1f} img/s", flush=True)
+    tag = "cls_vitb_probe_img_per_sec" if linear_probing \
+        else "cls_vitb_fullft_img_per_sec"
+    return _row(tag, B, timestep(step, state, batch))
+
+
+def run(which="all"):
+    rows = []
+    if which in ("all", "pretrain"):
+        rows.append(bench_pretrain())
+    if which in ("all", "seg"):
+        rows.append(bench_seg(parity=True))
+        rows.append(bench_seg(parity=False))
+    if which in ("all", "cls"):
+        rows.append(bench_cls(True, False))
+        rows.append(bench_cls(False, True))
+    return rows
 
 
 if __name__ == "__main__":
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    if which in ("all", "pretrain"):
-        bench_pretrain()
-    if which in ("all", "seg"):
-        bench_seg()
-    if which in ("all", "cls"):
-        bench_cls(True, False)
-        bench_cls(False, True)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("which", nargs="?", default="all")
+    ap.add_argument("--json", default=None, type=str)
+    a = ap.parse_args()
+    rows = run(a.which)
+    if a.json:
+        with open(a.json, "w") as f:
+            json.dump(rows, f, indent=1)
+        print(f"wrote {a.json}")

@@ -20,14 +20,17 @@ model = MIRAGEModel(
         image_size=(1024, 1024))},
     dim_tokens=768, depth=12, num_heads=12, drop_path_rate=0.1,
     compute_dtype=jnp.bfloat16)
+parity = "parity" in sys.argv[1:]  # reference freeze (adapters train) vs fast
 params = model.init_params(jax.random.PRNGKey(0))
 opt = create_optimizer(OptimizerConfig(
     opt="adamw", weight_decay=0.05, layer_decay=0.75,
-    num_layers=model.depth, freeze_encoder=True))
+    num_layers=model.depth, freeze_encoder=True,
+    frozen_paths=() if parity else ("input_adapters", "global_tokens")))
 
 def loss_fn(p, batch, rng):
     preds = model.forward_light(p, {"bscan": batch["bscan"]},
-                                deterministic=False, rng=rng, frozen_encoder=True)
+                                deterministic=False, rng=rng,
+                                frozen_encoder=not parity)
     return ce_gdice_loss(preds["semseg"].astype(jnp.float32),
                          batch["semseg"]), {}
 

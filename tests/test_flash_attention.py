@@ -276,3 +276,39 @@ def test_fused_kernel_gates_reject_unaligned_head_dim():
 
     assert not _use_block_kernel("auto", 65, 0.0, True, head_dim=48)
     assert not _use_block_kernel("block", 65, 0.0, True, head_dim=40)
+
+
+def test_kernel_onepass_ln_large_mean(rng):
+    """Round-3 kernels compute LN variance as E[x^2] - mean^2 (one data pass).
+    Guard the cancellation case: inputs with |mean| >> std must still match
+    the two-pass XLA LN through the fused halves."""
+    import jax
+    import jax.numpy as jnp
+
+    from mirage_tpu.nn.block import block_init
+    from mirage_tpu.ops.block_attention import _attn_half_fwd
+    from mirage_tpu.ops.fused_mlp import mlp_block
+
+    b, n, d, h = 2, 16, 64, 2
+    p = block_init(jax.random.PRNGKey(0), d, qkv_bias=True)
+    # per-channel offsets up to 30 with unit noise: mean^2/var ~ 1e3
+    offs = jnp.asarray(30.0 * rng.standard_normal(d).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32)) + offs
+
+    got = _attn_half_fwd(x, p["norm1"]["scale"], p["norm1"]["bias"],
+                         p["attn"]["qkv"]["w"],
+                         p["attn"]["qkv"].get("b", jnp.zeros((3 * d,))),
+                         p["attn"]["proj"]["w"], p["attn"]["proj"]["b"],
+                         num_heads=h, scale=(d // h) ** -0.5, interpret=True)
+    from mirage_tpu.nn.attention import attention_apply
+    from mirage_tpu.nn.layers import layer_norm
+    want = x + attention_apply(p["attn"], layer_norm(p["norm1"], x), h,
+                               impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=1e-3)
+
+    got_m = mlp_block(x, p["norm2"], p["mlp"], interpret=True)
+    from mirage_tpu.nn.layers import mlp_apply
+    want_m = x + mlp_apply(p["mlp"], layer_norm(p["norm2"], x))
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                               atol=2e-3, rtol=1e-3)
