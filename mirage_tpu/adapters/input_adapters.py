@@ -164,10 +164,10 @@ class SemSegInputAdapter:
         # is numerically identical (single 1.0 per row) and runs in ~1 ms
         # each way on the MXU.
         cdtype = compute_dtype or params["class_emb"].dtype
-        onehot = jax.nn.one_hot(x, params["class_emb"].shape[0], dtype=cdtype)
-        emb = onehot @ params["class_emb"].astype(cdtype)
-        emb_nchw = emb.transpose(0, 3, 1, 2)
         if self.interpolate_class_emb:
+            onehot = jax.nn.one_hot(x, params["class_emb"].shape[0], dtype=cdtype)
+            emb = onehot @ params["class_emb"].astype(cdtype)
+            emb_nchw = emb.transpose(0, 3, 1, 2)
             # Bilinear downsample by (1/ph, 1/pw) then 1x1 conv
             # (input_adapters.py:194-200). torch Upsample(scale_factor) floors.
             emb_small = resize2d(emb_nchw, (h // ph, w // pw), mode="bilinear",
@@ -175,8 +175,30 @@ class SemSegInputAdapter:
             tokens = patch_embed(emb_small, params["proj"]["w"], params["proj"]["b"],
                                  1, 1, compute_dtype=compute_dtype)
         else:
-            tokens = patch_embed(emb_nchw, params["proj"]["w"], params["proj"]["b"],
-                                 ph, pw, compute_dtype=compute_dtype)
+            # Folded path: class-emb lookup ∘ patch projection collapses into
+            # ONE one-hot matmul. token = Σ_{pos,c} E[label_pos, c]·W[c·P+pos]
+            # = Σ_pos M[pos·K + label_pos] with M[p·K+k] = Σ_c E[k,c]·W[c·P+p].
+            # vs the two-step (emb lookup -> NCHW transpose -> patchify ->
+            # (B·N, C_emb·P) @ W): contracts over K=13 classes instead of
+            # C_emb·P=4096 channels (83.8 vs 412 GFLOP/step at the pretrain
+            # config) and kills the four ~1.7 ms (B,64,128,128) layout copies
+            # the round-3 trace showed around the old patchify. M is folded
+            # in f32 at call time (one (P,K,C)x(C,D) einsum, ~0.3 GFLOP).
+            k = params["class_emb"].shape[0]
+            p = ph * pw
+            d = params["proj"]["w"].shape[-1]
+            w_pcd = params["proj"]["w"].astype(jnp.float32).reshape(
+                self.dim_class_emb, p, d)
+            m = jnp.einsum("kc,cpd->pkd", params["class_emb"].astype(jnp.float32),
+                           w_pcd).reshape(p * k, d).astype(cdtype)
+            # labels -> (B, N, P) patch-major ints; the per-position one-hot
+            # reshaped to (B, N, P*K) is exactly the disjoint multi-hot
+            # selecting M[p*K + label_p] for every position
+            labels = x.reshape(x.shape[0], nh, ph, nw, pw)
+            labels = labels.transpose(0, 1, 3, 2, 4).reshape(x.shape[0], nh * nw, p)
+            onehot = jax.nn.one_hot(labels, k, dtype=cdtype).reshape(
+                x.shape[0], nh * nw, p * k)
+            tokens = onehot @ m + params["proj"]["b"].astype(cdtype)
         pos = resize2d(params["pos_emb"], (nh, nw), mode="bilinear", align_corners=False)
         d = pos.shape[1]
         pos_tokens = pos.reshape(1, d, nh * nw).transpose(0, 2, 1)

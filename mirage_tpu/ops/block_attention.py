@@ -203,6 +203,12 @@ def _block_attn_fwd_vjp(qkv, num_heads, scale):
 
 def _block_attn_bwd_vjp(num_heads, scale, res, g):
     (qkv,) = res
+    # The decoder-dim (256/dh=32) Pallas backward runs ~9x above its MXU
+    # floor (per-head (N, 32) matmuls are latency-bound; round-3 pretrain
+    # trace: 6 x 1.95 ms/step) — but the XLA-recompute alternative measured
+    # WORSE at the pretraining batch (pretrain 944 -> ~880 img/s): XLA
+    # materializes the (B, H, N, N) probabilities twice (fwd recompute +
+    # bwd), ~1.6 GB of HBM traffic per decoder block at B=256. Kept Pallas.
     return (_block_attn_bwd(qkv, g, num_heads, scale),)
 
 

@@ -113,7 +113,10 @@ def _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, block_rows: int = 512,
         # keep the unaligned operand 3-D: a flatten outside the kernel forces
         # XLA to copy VMEM-resident loop activations to HBM and back around
         # the custom call (measured 3.2 ms/step at the flagship 257-token
-        # shape, whose rows are not tile-aligned)
+        # shape; a round-3 pad-to-aligned variant of THIS forward path
+        # measured 1020.5 -> 995.6 img/s on pretraining for the same reason
+        # — unlike the backward, where the pad-to-aligned 2-D path wins,
+        # see _mlp_block_bwd_pallas)
         b, n, _ = x.shape
         out = pl.pallas_call(
             _mlp_kernel,
@@ -127,6 +130,12 @@ def _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, block_rows: int = 512,
         return out
     m = x.shape[0]
     blk = min(block_rows, m)
+    # fewer/bigger programs when VMEM allows (~3 f32 hidden passes live):
+    # the fwd grid is parallel, but per-program overhead still amortizes
+    for cand in (4096, 2048, 1024):
+        if m % cand == 0 and cand > blk and cand * hdim * 12 < 40 * 2 ** 20:
+            blk = cand
+            break
     out = pl.pallas_call(
         _mlp_kernel,
         out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
@@ -263,6 +272,25 @@ def _mlp_block_bwd_pallas(x, dy, gamma, beta, w1, b1, w2, interpret=False):
                                     gamma, beta, w1, b1, w2,
                                     interpret=interpret)
         return (out[0].reshape(b, n, d),) + out[1:]
+    if x.ndim == 3 and (-(-x.shape[1] // 16) * 16) * x.shape[0] % 1024 == 0:
+        # Unaligned token counts (pretraining's N=99): pad rows to a
+        # bitcast-flattenable multiple of 16 and take the row-blocked 2-D
+        # path. The MLP half is row-independent and the padded dy rows are
+        # ZERO, so they contribute exactly nothing to any gradient (dh =
+        # dact*dgelu with dact = 0; all dW/db contractions see zero
+        # cotangents; the padded dx rows are sliced away). Trades ~(pad/N)
+        # extra matmul rows for ~16x fewer sequential accumulate programs
+        # (the per-element f32 accumulator adds were ~1.5 ms/layer of VPU
+        # time at the pretraining shape).
+        b, n, _ = x.shape
+        n_pad = -(-n // 16) * 16
+        xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+        dyp = jnp.pad(dy, ((0, 0), (0, n_pad - n), (0, 0)))
+        out = _mlp_block_bwd_pallas(xp.reshape(b * n_pad, d),
+                                    dyp.reshape(b * n_pad, d),
+                                    gamma, beta, w1, b1, w2,
+                                    interpret=interpret)
+        return (out[0].reshape(b, n_pad, d)[:, :n],) + out[1:]
     if x.ndim == 3:
         b, n, _ = x.shape
         elems = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
@@ -279,9 +307,14 @@ def _mlp_block_bwd_pallas(x, dy, gamma, beta, w1, b1, w2, interpret=False):
         )(x, dy, *flat)
         return (dx, *grads)
     m = x.shape[0]
+    # Bigger blocks = fewer sequential grid iterations (the accumulation
+    # grid can't be parallelized) and fewer accumulator update rounds. The
+    # seg ConvNeXt head's (131072, 384) backward ran at 5x its matmul floor
+    # with blk=512 (round-3 trace: 5.05 ms/block). Cap by a VMEM estimate:
+    # ~4.5 f32 hidden-size passes live at once, + weights + f32 accumulators.
     blk = None
-    for cand in (512, 256, 128, 64, 32, 16, 8):
-        if m % cand == 0:
+    for cand in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if m % cand == 0 and cand * hdim * 18 + 4 * d * hdim * 3 < 48 * 2 ** 20:
             blk = cand
             break
     if blk is None:  # ragged row count: padded rows would pollute the

@@ -214,7 +214,9 @@ def test_mlp_block_backward_kernel_matches_xla(rng):
     from mirage_tpu.ops.fused_mlp import (
         _mlp_block_bwd_pallas, _mlp_block_xla)
 
-    for shape in [(4, 32, 48), (2, 16, 64), (96, 48)]:  # 3-D elems, aligned-3-D, 2-D
+    # 3-D elems, aligned-3-D, 2-D, and unaligned-3-D via the zero-dy row-pad
+    # path (64*ceil16(33) divisible by 1024)
+    for shape in [(4, 32, 48), (2, 16, 64), (96, 48), (64, 33, 32)]:
         d = shape[-1]
         hdim = 4 * d
         x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
