@@ -90,12 +90,21 @@ def encoder_apply(
                      attn_drop=attn_drop, deterministic=deterministic,
                      grad_free=grad_free)
         if remat:
+            # Selective remat: SAVE the inter-half activation (named in
+            # block_apply's fused path) — the half-block Pallas backwards
+            # recompute their own internals from their inputs, so full-block
+            # remat double-paid the attention-half forward (13 ms/step at
+            # the pretrain config) for 39 MB/layer of bf16 savings we don't
+            # need. On the non-fused path nothing carries the name and this
+            # degrades to plain per-layer remat.
             fn = jax.checkpoint(
                 lambda p_, c_, rate_, key_: block_apply(
                     p_, c_, num_heads, impl=impl, drop=drop, attn_drop=attn_drop,
                     drop_path_rate=rate_, deterministic=deterministic, rng=key_,
                     grad_free=grad_free),
-                static_argnums=(2,) if not thread_rates else ())
+                static_argnums=(2,) if not thread_rates else (),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_half_out"))
             y = fn(p, carry, rate, key)
         else:
             y = fn(p, carry, drop_path_rate=rate, rng=key)

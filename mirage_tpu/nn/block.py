@@ -8,6 +8,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from mirage_tpu.nn.attention import (
     _on_tpu,
@@ -72,6 +73,12 @@ def block_apply(p, x, num_heads, *, impl="auto", drop=0.0, attn_drop=0.0,
 
         x = attn_half_block(x, p["norm1"], p["attn"], num_heads,
                             grad_free=grad_free)
+        # named so the remat policy (encoder_apply) can SAVE the inter-half
+        # activation: both halves' Pallas backwards recompute their own
+        # internals from their inputs, so with h saved the attn-half forward
+        # recompute in the bwd scan is dead and XLA DCEs it (13 ms/step of
+        # the round-3 pretraining trace; 39 MB/layer bf16 to keep)
+        x = checkpoint_name(x, "attn_half_out")
         return mlp_block(x, p["norm2"], p["mlp"], grad_free=grad_free)
     h = layer_norm(p["norm1"], x)
     h = attention_apply(p["attn"], h, num_heads, impl=impl, attn_drop=attn_drop,
