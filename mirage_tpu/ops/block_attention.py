@@ -105,12 +105,17 @@ def _block_attn_fwd(qkv, num_heads: int, scale: float, interpret: bool = False):
     )(qkv)
 
 
-def _block_attn_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int,
-                           dim: int, scale: float, elems: int = 1):
+def _block_attn_bwd_kernel(qkv_ref, do_ref, dqkv_ref, s_scratch, dp_scratch,
+                           *, num_heads: int, dim: int, scale: float,
+                           elems: int = 1):
     """dQKV in the same packed (N, 3D) layout.
     Standard attention backward with P recomputed in VMEM:
       dP = dO Vᵀ; dS = P ∘ (dP − rowsum(P ∘ dP)) · scale
       dQ = dS K; dK = dSᵀ Q; dV = Pᵀ dO
+    Phase-batched like the forward (all score matmuls, ONE softmax + ONE
+    delta/dS pass over every head, then all dq/dk/dv matmuls): the per-head
+    (N, N) VPU work serialized MXU<->VPU 2*H times per program before —
+    visible as the 9x-above-floor decoder backwards in the round-3 trace.
     """
     dh = dim // num_heads
     for ei in range(elems):
@@ -119,20 +124,28 @@ def _block_attn_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int,
         for h in range(num_heads):
             q = x[:, h * dh:(h + 1) * dh]
             k = x[:, dim + h * dh:dim + (h + 1) * dh]
+            s_scratch[h] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+        s = s_scratch[...]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp2((s - m) * _LOG2E)
+        s_scratch[...] = e / jnp.sum(e, axis=-1, keepdims=True)  # P
+        for h in range(num_heads):
             v = x[:, 2 * dim + h * dh:2 * dim + (h + 1) * dh]
             do_h = do[:, h * dh:(h + 1) * dh]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            s = s * scale
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp2((s - m) * _LOG2E)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
-            dp = jax.lax.dot_general(
+            dp_scratch[h] = jax.lax.dot_general(
                 do_h, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-            ds = (p * (dp - delta) * scale).astype(x.dtype)
+        p_all = s_scratch[...]
+        dp_all = dp_scratch[...]
+        delta = jnp.sum(p_all * dp_all, axis=-1, keepdims=True)
+        dp_scratch[...] = p_all * (dp_all - delta) * scale  # dS, f32
+        for h in range(num_heads):
+            q = x[:, h * dh:(h + 1) * dh]
+            k = x[:, dim + h * dh:dim + (h + 1) * dh]
+            do_h = do[:, h * dh:(h + 1) * dh]
+            ds = dp_scratch[h].astype(x.dtype)
             dq = jax.lax.dot_general(
                 ds, k, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -140,7 +153,7 @@ def _block_attn_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int,
                 ds, q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dv = jax.lax.dot_general(
-                p.astype(do_h.dtype), do_h, (((0,), (0,)), ((), ())),
+                s_scratch[h].astype(do_h.dtype), do_h, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dqkv_ref[ei, :, h * dh:(h + 1) * dh] = dq.astype(dqkv_ref.dtype)
             dqkv_ref[ei, :, dim + h * dh:dim + (h + 1) * dh] = \
@@ -159,8 +172,11 @@ def _block_attn_bwd(qkv, do, num_heads: int, scale: float,
                                dim=dim, scale=scale, elems=elems)
     kwargs = {}
     if _HAVE_PLTPU and not interpret:
+        # the two (H, N, N) f32 phase scratches push past the default 16 MB
+        # scoped budget at the cls-FT shape (H=12, N=257)
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("parallel",))
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, n, three_d), qkv.dtype),
@@ -170,6 +186,9 @@ def _block_attn_bwd(qkv, do, num_heads: int, scale: float,
             pl.BlockSpec((elems, n, dim), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((elems, n, three_d), lambda i: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((num_heads, n, n), jnp.float32),
+                        pltpu.VMEM((num_heads, n, n), jnp.float32)]
+        if _HAVE_PLTPU else [],
         interpret=interpret,
         **kwargs,
     )(qkv, do)
@@ -284,6 +303,9 @@ def _pick_elems(b: int, d: int) -> int:
 def _attn_half_fwd(x, gamma, beta, wqkv, bqkv, wproj, bproj, num_heads: int,
                    scale: float, interpret: bool = False):
     b, n, d = x.shape
+    # (4 elements per program at short sequences measured FLAT on the
+    # pretraining fwd — the ~40% per-program overhead implied by the 60% MFU
+    # at N=99 is apparently DMA-pipelined, not serialized)
     elems = _pick_elems(b, d)
     kernel = functools.partial(_attn_half_kernel, num_heads=num_heads,
                                dim=d, scale=scale, elems=elems)
@@ -325,7 +347,8 @@ def _attn_half_fwd(x, gamma, beta, wqkv, bqkv, wproj, bproj, num_heads: int,
 # ---------------------------------------------------------------------------
 
 def _attn_half_bwd_rows(x, dy, g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
-                        s_scratch, attn_scratch, *, num_heads, dim, scale):
+                        s_scratch, dp_scratch, attn_scratch, *, num_heads,
+                        dim, scale):
     """Backward math for one (N, D) element. Returns
     (dx, dgamma, dbeta, dwqkv, dbqkv, dwproj, dbproj); param grads f32."""
     x32 = x.astype(jnp.float32)
@@ -367,23 +390,30 @@ def _attn_half_bwd_rows(x, dy, g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
                                  preferred_element_type=jnp.float32)
     dattn = jax.lax.dot_general(dy, wp_c, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32).astype(x.dtype)
-    # attention backward per head -> packed dqkv (written through attn paths)
+    # attention backward, phase-batched like the forward: all dP matmuls,
+    # ONE delta/ds elementwise pass over every head (the per-head (N, N) VPU
+    # work between matmuls serialized MXU<->VPU 12x per layer), all dq/dk/dv
+    for h in range(num_heads):
+        v = qkv[:, 2 * dim + h * dh:2 * dim + (h + 1) * dh]
+        do_h = dattn[:, h * dh:(h + 1) * dh]
+        dp_scratch[h] = jax.lax.dot_general(
+            do_h, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    p_all = s_scratch[...]
+    dp_all = dp_scratch[...]
+    delta = jnp.sum(p_all * dp_all, axis=-1, keepdims=True)
+    dp_scratch[...] = p_all * (dp_all - delta) * scale  # dS, f32
     dqkv_cols = []
     for h in range(num_heads):
         q = qkv[:, h * dh:(h + 1) * dh]
         k = qkv[:, dim + h * dh:dim + (h + 1) * dh]
-        v = qkv[:, 2 * dim + h * dh:2 * dim + (h + 1) * dh]
-        p = s_scratch[h]
+        ds = dp_scratch[h].astype(x.dtype)
         do_h = dattn[:, h * dh:(h + 1) * dh]
-        dp = jax.lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-        ds = (p * (dp - delta) * scale).astype(x.dtype)
         dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        dv = jax.lax.dot_general(p.astype(do_h.dtype), do_h,
+        dv = jax.lax.dot_general(s_scratch[h].astype(do_h.dtype), do_h,
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         dqkv_cols.append((dq, dk, dv))
@@ -408,7 +438,8 @@ def _attn_half_bwd_rows(x, dy, g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
 def _attn_half_bwd_kernel(x_ref, dy_ref, g_ref, be_ref, wqkv_ref, bqkv_ref,
                           wp_ref, dx_ref, dg_ref, dbe_ref, dwqkv_ref,
                           dbqkv_ref, dwp_ref, dbp_ref, attn_scratch,
-                          s_scratch, *, num_heads, dim, scale, elems):
+                          s_scratch, dp_scratch, *, num_heads, dim, scale,
+                          elems):
     @pl.when(pl.program_id(0) == 0)
     def _init():
         dg_ref[...] = jnp.zeros_like(dg_ref)
@@ -421,7 +452,8 @@ def _attn_half_bwd_kernel(x_ref, dy_ref, g_ref, be_ref, wqkv_ref, bqkv_ref,
     for ei in range(elems):
         dx, dg, dbe, dwqkv, dbqkv, dwp, dbp = _attn_half_bwd_rows(
             x_ref[ei], dy_ref[ei], g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
-            s_scratch, attn_scratch, num_heads=num_heads, dim=dim, scale=scale)
+            s_scratch, dp_scratch, attn_scratch, num_heads=num_heads, dim=dim,
+            scale=scale)
         dx_ref[ei] = dx.astype(dx_ref.dtype)
         dg_ref[...] += dg
         dbe_ref[...] += dbe
@@ -468,6 +500,7 @@ def _attn_half_bwd_pallas(x, dy, gamma, beta, wqkv, bqkv, wproj,
         out_specs=[pl.BlockSpec((elems, n, d), lambda i: (i, 0, 0))]
         + grad_specs,
         scratch_shapes=[pltpu.VMEM((n, d), x.dtype),
+                        pltpu.VMEM((num_heads, n, n), jnp.float32),
                         pltpu.VMEM((num_heads, n, n), jnp.float32)]
         if _HAVE_PLTPU else [],
         interpret=interpret,
