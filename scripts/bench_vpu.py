@@ -249,6 +249,18 @@ def _mlp_kernel_v(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     elif act == "bf16":         # polynomial erf evaluated in bf16
         hb = h.astype(jnp.bfloat16)
         h = 0.5 * hb * (1.0 + _erf(hb / jnp.bfloat16(_SQRT2)))
+    elif act == "hastings":     # A&S 7.1.28: div + pow16, NO exp (3e-7 err)
+        z = h * (1.0 / _SQRT2)
+        az = jnp.abs(z)
+        a = (0.0705230784, 0.0422820123, 0.0092705272,
+             0.0001520143, 0.0002765672, 0.0000430638)
+        q = 1.0 + az * (a[0] + az * (a[1] + az * (a[2] + az * (
+            a[3] + az * (a[4] + az * a[5])))))
+        q2 = q * q
+        q4 = q2 * q2
+        q8 = q4 * q4
+        e = 1.0 - 1.0 / (q8 * q8)
+        h = 0.5 * h * (1.0 + jnp.sign(z) * e)
     else:
         h = 0.5 * h * (1.0 + _erf(h / _SQRT2))
     h = h.astype(x.dtype)
@@ -330,7 +342,8 @@ if __name__ == "__main__":
             ("mlp/ln-skip    ", {"ln": "skip"}),
             ("mlp/ln-onepass ", {"ln": "onepass"}),
             ("mlp/act-skip   ", {"act": "skip"}),
-            ("mlp/act-bf16   ", {"act": "bf16"}),
+            # act-bf16: Mosaic rejects bf16 vector compares on v5e (known)
+            ("mlp/act-hasting", {"act": "hastings"}),
         ]:
             bench(tag, make_mlp(**kw), x, gamma, beta, w1, b1, w2, b2)
         bench("mlp/pipe2      ", make_mlp_pipe2(), x, gamma, beta, w1, b1,
