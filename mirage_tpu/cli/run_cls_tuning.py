@@ -51,7 +51,10 @@ def get_parser():
     p.add_argument("--early_stopping_delta", default=0.0, type=float)
     p.add_argument("--early_stopping_delta_two", default=0.0, type=float)
     p.add_argument("--early_start_from", default=20, type=int)
-    p.add_argument("--fill", default=0.0, type=float)
+    p.add_argument("--fill", default=None, type=float,
+                   help="affine fill value; default: 1 for Kermany, else 0 "
+                        "(fm_cls_config.py:51-56); 0.5 = random in-range "
+                        "fill per image (transforms.py:125-126)")
     p.add_argument("--affine", default=True,
                    action=argparse.BooleanOptionalAction,
                    help="random affine train transform "
@@ -106,6 +109,10 @@ def main(argv=None):
     from mirage_tpu.train.steps import init_train_state, shard_batch, shard_state
 
     fm = pick_fm(cls_fm_factory, args.weights, linear_probing=args.linear_probing)
+    if args.fill is None:
+        # reference default: white fill for Kermany (bright-background OCT
+        # exports), black otherwise (fm_cls_config.py:51-56)
+        args.fill = 1.0 if "kermany" in args.data_set.lower() else 0.0
     if args.lr is None:
         args.lr = fm.lr
     if args.input_size is None:

@@ -366,25 +366,36 @@ class RandomIntensityChannel:
 
 
 class RandomAffineChannel:
-    """Per-channel random affine with random or fixed fill, p-gated
-    (mutils/transforms.py:107-148)."""
+    """Per-channel random affine, p-gated (mutils/transforms.py:107-148).
+
+    Reference semantics replicated exactly: the whole transform applies with
+    probability p (reference default 1.0 — fm_cls_config.py:59 passes no p),
+    each CHANNEL is then transformed only 90% of the time
+    (transforms.py:137-138), and the magic value fill == 0.5 draws a random
+    fill from [img.min, img.max] per invocation (transforms.py:125-126)."""
 
     def __init__(self, degrees: float = 10.0, translate=(0.1, 0.1),
-                 scale=(0.9, 1.1), shear: float = 5.0, p: float = 0.5,
-                 fill: Optional[float] = 0.0):
+                 scale=(0.9, 1.1), shear: float = 5.0, p: float = 1.0,
+                 fill: Optional[float] = 0.0, channel_p: float = 0.9):
         self.cfg = dict(degrees=degrees, translate=translate, scale=scale,
                         shear=shear)
         self.p = p
-        self.fill = fill
+        self.fill = 0.0 if fill is None else fill  # torchvision None -> 0
+        self.channel_p = channel_p
 
     def __call__(self, img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         if rng.random() >= self.p:
             return img
-        out = np.empty_like(img)
+        if self.fill == 0.5:  # reference magic value: random in-range fill
+            fill = float(rng.uniform(float(img.min()), float(img.max())))
+        else:
+            fill = self.fill
+        out = img.copy()
         for c in range(img.shape[0]):
+            if rng.random() >= self.channel_p:
+                continue
             angle, t, s, sh = random_affine_params(
                 rng, img_size=img.shape[-2:], **self.cfg)
-            fill = float(rng.random()) if self.fill is None else self.fill
             out[c] = affine_warp(img[c], angle, t, s, sh, order=1, fill=fill)
         return out
 

@@ -293,3 +293,35 @@ def test_loader_early_break_no_deadlock():
 
     time.sleep(0.5)
     assert threading.active_count() <= before + 2
+
+
+def test_random_affine_channel_reference_semantics(rng):
+    """p default 1.0, per-channel 0.9 gate, and the fill==0.5 magic
+    (random in-range fill) — mutils/transforms.py:107-148."""
+    from mirage_tpu.data.augment import RandomAffineChannel
+
+    img = np.full((2, 16, 16), 0.75, np.float32)
+    img[:, :2] = 0.25  # min 0.25, max 0.75
+
+    # fill=0.5 must draw fills from [img.min, img.max]
+    t = RandomAffineChannel(degrees=0.0, translate=(0.5, 0.5), shear=0.0,
+                            scale=(1.0, 1.0), fill=0.5, channel_p=1.0)
+    seen = set()
+    for i in range(10):
+        out = t(img, np.random.default_rng(i))
+        new_vals = np.setdiff1d(np.unique(out.round(4)),
+                                np.unique(img.round(4)))
+        seen.update(new_vals.tolist())
+    assert seen, "translation should expose fill values"
+    assert all(0.25 - 1e-3 <= v <= 0.75 + 1e-3 for v in seen), seen
+
+    # None resolves to constant 0 fill (torchvision semantics), not random
+    t0 = RandomAffineChannel(degrees=0.0, translate=(0.5, 0.5), shear=0.0,
+                             scale=(1.0, 1.0), fill=None, channel_p=1.0)
+    out = t0(img, np.random.default_rng(0))
+    extra = np.setdiff1d(np.unique(out.round(4)), np.unique(img.round(4)))
+    assert all(abs(v) < 1e-6 for v in extra), extra
+
+    # channel gate: with channel_p=0 nothing changes even though p=1
+    tg = RandomAffineChannel(fill=0.0, channel_p=0.0)
+    np.testing.assert_array_equal(tg(img, np.random.default_rng(0)), img)
