@@ -253,7 +253,9 @@ def _attn_half_kernel(x_ref, g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         # one-pass moments (E[x^2] - mean^2): one fewer sweep over (N, D);
         # f32 accumulation keeps the cancellation error ~eps*(1 + mean^2/var)
-        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - jnp.square(mean)
+        var = jnp.maximum(
+        jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        - jnp.square(mean), 0.0)  # cancellation can go negative
         y = (x32 - mean) * jax.lax.rsqrt(var + 1e-6)
         y = y * g_ref[...].astype(jnp.float32) + be_ref[...].astype(jnp.float32)
         y = y.astype(x.dtype)
@@ -353,7 +355,9 @@ def _attn_half_bwd_rows(x, dy, g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
     (dx, dgamma, dbeta, dwqkv, dbqkv, dwproj, dbproj); param grads f32."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - jnp.square(mean)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        - jnp.square(mean), 0.0)  # cancellation can go negative
     inv = jax.lax.rsqrt(var + 1e-6)
     yhat = (x32 - mean) * inv
     g32 = g_ref[...].astype(jnp.float32)
@@ -600,7 +604,9 @@ def _xattn_half_kernel(x_ref, ctx_ref, gq_ref, bq_ref, gc_ref, bc_ref,
     def ln(t, g_ref, b_ref):
         t32 = t.astype(jnp.float32)
         mean = jnp.mean(t32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(t32), axis=-1, keepdims=True) - jnp.square(mean)
+        var = jnp.maximum(
+            jnp.mean(jnp.square(t32), axis=-1, keepdims=True)
+            - jnp.square(mean), 0.0)
         y = (t32 - mean) * jax.lax.rsqrt(var + 1e-6)
         return (y * g_ref[...].astype(jnp.float32)
                 + b_ref[...].astype(jnp.float32)).astype(t.dtype)

@@ -60,7 +60,9 @@ def _mlp_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     # one-pass moments; see block_attention.py note
-    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - jnp.square(mean)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        - jnp.square(mean), 0.0)  # cancellation can go negative
     y = (x32 - mean) * jax.lax.rsqrt(var + 1e-6)
     y = y * g_ref[...].astype(jnp.float32) + be_ref[...].astype(jnp.float32)
     y = y.astype(x.dtype)
@@ -166,7 +168,9 @@ def _mlp_bwd_rows(x, dy, g_ref, be_ref, w1_ref, b1_ref, w2_ref):
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     # one-pass moments; see block_attention.py note
-    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - jnp.square(mean)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        - jnp.square(mean), 0.0)  # cancellation can go negative
     inv = jax.lax.rsqrt(var + 1e-6)
     yhat = (x32 - mean) * inv
     g32 = g_ref[...].astype(jnp.float32)
@@ -313,10 +317,20 @@ def _mlp_block_bwd_pallas(x, dy, gamma, beta, w1, b1, w2, interpret=False):
     # with blk=512 (round-3 trace: 5.05 ms/block). Cap by a VMEM estimate:
     # ~4.5 f32 hidden-size passes live at once, + weights + f32 accumulators.
     blk = None
+    # fixed VMEM: bf16 w1+w2 (4*d*hdim B) + f32 dw1+dw2 accumulators
+    # (8*d*hdim B); ~4.5 f32 hidden-size passes live per block. NOTE at
+    # d=1024/hdim=4096 the fixed term alone is ~50 MB, so no large cand
+    # fits — fall back to the pre-round-3 candidate list in that case
+    # rather than blk=m (a single giant block would blow VMEM outright).
     for cand in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
-        if m % cand == 0 and cand * hdim * 18 + 4 * d * hdim * 3 < 48 * 2 ** 20:
+        if m % cand == 0 and cand * hdim * 18 + 12 * d * hdim < 56 * 2 ** 20:
             blk = cand
             break
+    if blk is None:
+        for cand in (512, 256, 128, 64, 32, 16, 8):
+            if m % cand == 0:
+                blk = cand
+                break
     if blk is None:  # ragged row count: padded rows would pollute the
         blk = m      # accumulators, so run it as a single block
     dx, *grads = pl.pallas_call(

@@ -154,8 +154,9 @@ class BatchingQueue:
                 for p in batch:
                     p.error = e
             finally:
-                self.n_batches += 1
-                self.batch_sizes.append(len(batch))
+                with self._cond:
+                    self.n_batches += 1
+                    self.batch_sizes.append(len(batch))
                 for p in batch:
                     p.event.set()
 
@@ -193,10 +194,15 @@ class MIRAGEServer:
 
     def stats(self) -> Dict:
         """Counters are lifetime totals; latency percentiles / mean batch are
-        over the last STATS_MAXLEN samples per queue (bounded memory)."""
-        sizes = [s for q in self.queues.values() for s in list(q.batch_sizes)]
-        lats = sorted(s for q in self.queues.values()
-                      for s in list(q.latencies_s))
+        over the last STATS_MAXLEN samples per queue (bounded memory).
+        Snapshots are taken under each queue's lock: deque iteration raises
+        RuntimeError if another thread appends mid-iteration."""
+        sizes, lats = [], []
+        for q in self.queues.values():
+            with q._cond:
+                sizes.extend(q.batch_sizes)
+                lats.extend(q.latencies_s)
+        lats.sort()
 
         def pct(p):
             return round(lats[min(len(lats) - 1, int(p * len(lats)))] * 1e3, 3) \

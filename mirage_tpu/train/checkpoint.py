@@ -126,7 +126,7 @@ def load_checkpoint(path: str, state_template, *, partial: bool = False):
     else:
         try:
             state = ckptr.restore(path, abstract)
-        except BaseException:
+        except Exception:
             # moment-layout drift (frozen-leaf scalar placeholders vs
             # full-size buffers): restore raw, then reconcile — re-raises
             # on any mismatch that is not a freeze-layout change

@@ -52,15 +52,19 @@ def fetch(url: str, directory: str, from_dir=None):
     if any(Path(directory, c).exists() for c in (name, stem)):
         print(f"  already present: {name}")
         return fname
+    # crash-safe: materialize to a temp name and rename, so an interrupted
+    # transfer never leaves a partial file the presence check would skip
+    tmp = fname + ".tmp"
     if from_dir is not None:
         src = os.path.join(from_dir, name)
         if not os.path.isfile(src):
             raise FileNotFoundError(f"--from-dir has no {name} (expected {src})")
         print(f"  copying {src}")
-        shutil.copyfile(src, fname)
+        shutil.copyfile(src, tmp)
     else:
         print(f"  downloading {url}")
-        urllib.request.urlretrieve(url, fname)
+        urllib.request.urlretrieve(url, tmp)
+    os.replace(tmp, fname)
     return fname
 
 
