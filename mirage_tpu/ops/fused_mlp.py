@@ -318,12 +318,14 @@ def _mlp_block_bwd_pallas(x, dy, gamma, beta, w1, b1, w2, interpret=False):
     # ~4.5 f32 hidden-size passes live at once, + weights + f32 accumulators.
     blk = None
     # fixed VMEM: bf16 w1+w2 (4*d*hdim B) + f32 dw1+dw2 accumulators
-    # (8*d*hdim B); ~4.5 f32 hidden-size passes live per block. NOTE at
-    # d=1024/hdim=4096 the fixed term alone is ~50 MB, so no large cand
-    # fits — fall back to the pre-round-3 candidate list in that case
-    # rather than blk=m (a single giant block would blow VMEM outright).
+    # (8*d*hdim B); ~4.5 f32 hidden-size passes live per block. The 48 MB
+    # budget (of the 64 MB limit) leaves double-buffering headroom — a
+    # 56 MB budget let d=768 pick blk=512 and REGRESSED pretraining
+    # 1091 -> 1040 img/s. NOTE at d=1024/hdim=4096 the fixed term alone is
+    # ~50 MB, so no cand fits — fall back to the pre-round-3 candidate
+    # list rather than blk=m (a giant block would blow VMEM outright).
     for cand in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
-        if m % cand == 0 and cand * hdim * 18 + 12 * d * hdim < 56 * 2 ** 20:
+        if m % cand == 0 and cand * hdim * 18 + 12 * d * hdim < 48 * 2 ** 20:
             blk = cand
             break
     if blk is None:

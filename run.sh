@@ -35,5 +35,7 @@ RUNNER="python -m mirage_tpu.cli.runner"
 # python -m mirage_tpu.cli.infer --weights ./__weights/MIRAGE-Base.pth \
 #     --image_path ./_example_images
 
-## Benchmark (one JSON line)
+## Benchmark (one JSON line; --all adds the four training workloads and
+## writes BENCH_TRAIN.json)
 # python bench.py
+# python bench.py --all

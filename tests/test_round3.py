@@ -2,11 +2,9 @@
 restored CLI knobs (--learnable_pos_emb / --affine / batch floor), checkpoint
 moment-layout reconcile, and the cls data-parallel mesh path."""
 
-import json
 from pathlib import Path
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
