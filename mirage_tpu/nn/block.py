@@ -92,6 +92,18 @@ def block_apply(p, x, num_heads, *, impl="auto", drop=0.0, attn_drop=0.0,
         from mirage_tpu.ops.fused_mlp import mlp_block
 
         return mlp_block(x, p["norm2"], p["mlp"], grad_free=grad_free)
+    if (grad_free and drop == 0.0 and impl in ("auto", "block")
+            and (x.shape[-1] // num_heads) % 32 == 0 and _on_tpu()):
+        # frozen-encoder training with stochastic depth (seg fast path):
+        # the fused MLP runs WITHOUT its residual so the drop-path scaling
+        # applies to the branch before the skip-add. grad_free only — the
+        # no-residual form has no custom VJP (none is needed under the
+        # encoder-output stop-gradient).
+        from mirage_tpu.ops.fused_mlp import mlp_block
+
+        h = mlp_block(x, p["norm2"], p["mlp"], grad_free=True, residual=False)
+        return x + drop_path(h, drop_path_rate, deterministic=deterministic,
+                             rng=r[3])
     h = layer_norm(p["norm2"], x)
     h = mlp_apply(p["mlp"], h, dropout_rate=drop, deterministic=deterministic, rng=r[2])
     x = x + drop_path(h, drop_path_rate, deterministic=deterministic, rng=r[3])

@@ -53,7 +53,8 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp2(-(ax * ax) * _LOG2E))
 
 
-def _mlp_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+def _mlp_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                *, residual: bool = True):
     x = x_ref[...]
     if x.ndim == 3:  # (1, N, D) batch-element block of a 3-D operand
         x = x[0]
@@ -78,15 +79,19 @@ def _mlp_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     o = o + b2_ref[...].astype(jnp.float32)
-    out = x + o.astype(x.dtype)
+    # residual=False leaves the skip-add to the caller (drop-path needs to
+    # scale the branch BEFORE the add; the seg fast path uses this)
+    out = x + o.astype(x.dtype) if residual else o.astype(x.dtype)
     o_ref[...] = out if o_ref.shape == out.shape else out[None]
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret",
+                                             "residual"))
 def _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, block_rows: int = 512,
-                   interpret: bool = False):
+                   interpret: bool = False, residual: bool = True):
     d = x.shape[-1]
     hdim = w1.shape[-1]
+    kern = functools.partial(_mlp_kernel, residual=residual)
     kwargs = {}
     if _HAVE_PLTPU and not interpret:
         # weights (16.8 MB bf16 at D=1024) stay VMEM-resident across the
@@ -109,8 +114,8 @@ def _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, block_rows: int = 512,
         # overhead) beats one-program-per-batch-element.
         b, n, _ = x.shape
         return _mlp_block_fwd(x.reshape(b * n, d), gamma, beta, w1, b1, w2,
-                              b2, block_rows=block_rows,
-                              interpret=interpret).reshape(b, n, d)
+                              b2, block_rows=block_rows, interpret=interpret,
+                              residual=residual).reshape(b, n, d)
     if x.ndim == 3:
         # keep the unaligned operand 3-D: a flatten outside the kernel forces
         # XLA to copy VMEM-resident loop activations to HBM and back around
@@ -121,7 +126,7 @@ def _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, block_rows: int = 512,
         # see _mlp_block_bwd_pallas)
         b, n, _ = x.shape
         out = pl.pallas_call(
-            _mlp_kernel,
+            kern,
             out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
             grid=(b,),
             in_specs=[pl.BlockSpec((1, n, d), lambda i: (i, 0, 0))] + w_specs,
@@ -139,7 +144,7 @@ def _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, block_rows: int = 512,
             blk = cand
             break
     out = pl.pallas_call(
-        _mlp_kernel,
+        kern,
         out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
         grid=(pl.cdiv(m, blk),),
         in_specs=[pl.BlockSpec((blk, d), lambda i: (i, 0))] + w_specs,
@@ -394,11 +399,19 @@ def _mlp_block_bwd_vjp(res, g):
 _mlp_block.defvjp(_mlp_block_fwd_vjp, _mlp_block_bwd_vjp)
 
 
-def mlp_block(x, norm2, mlp, interpret: bool = False, grad_free: bool = False):
+def mlp_block(x, norm2, mlp, interpret: bool = False, grad_free: bool = False,
+              residual: bool = True):
     """Fused x + MLP(LN(x)) over pytree params ({'scale','bias'},
-    {'fc1','fc2'}). Differentiable (backward recomputes via XLA)."""
+    {'fc1','fc2'}). Differentiable (backward recomputes via XLA).
+
+    residual=False returns MLP(LN(x)) WITHOUT the skip-add, for callers that
+    must scale the branch first (stochastic depth in the seg fast path);
+    only valid under grad_free/stop-gradient — no custom VJP is registered
+    for the no-residual form."""
     args = (x, norm2["scale"], norm2["bias"], mlp["fc1"]["w"], mlp["fc1"]["b"],
             mlp["fc2"]["w"], mlp["fc2"]["b"])
+    if not residual:
+        return _mlp_block_fwd(*args, interpret=interpret, residual=False)
     if interpret:
         return _mlp_block_fwd(*args, interpret=True)
     del grad_free  # accepted but ignored — see attn_half_block

@@ -314,3 +314,26 @@ def test_kernel_onepass_ln_large_mean(rng):
     want_m = x + mlp_apply(p["mlp"], layer_norm(p["norm2"], x))
     np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
                                atol=2e-3, rtol=1e-3)
+
+
+def test_mlp_block_no_residual_matches(rng):
+    """residual=False returns MLP(LN(x)) without the skip-add (seg fast
+    path's drop-path scaling needs the bare branch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mirage_tpu.nn.block import block_init
+    from mirage_tpu.nn.layers import layer_norm, mlp_apply
+    from mirage_tpu.ops.fused_mlp import mlp_block
+
+    d = 64
+    p = block_init(jax.random.PRNGKey(0), d, qkv_bias=True)
+    x = jnp.asarray(rng.standard_normal((2, 16, d)).astype(np.float32))
+    got = mlp_block(x, p["norm2"], p["mlp"], interpret=True, residual=False)
+    want = mlp_apply(p["mlp"], layer_norm(p["norm2"], x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-4)
+    # and the residual form still includes x
+    got_r = mlp_block(x, p["norm2"], p["mlp"], interpret=True)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(x + want),
+                               atol=3e-5, rtol=1e-4)
