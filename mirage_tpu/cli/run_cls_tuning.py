@@ -15,6 +15,7 @@ Usage:
 import argparse
 import os
 import time
+from functools import partial
 from pathlib import Path
 
 import numpy as np
@@ -172,7 +173,7 @@ def main(argv=None):
                                   weights=weights)
         return loss, logits
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, images, targets, weights, rng, lr):
         def wrapped(params, images, targets, rng):
             # frozen leaves (linear probing) get stop_gradient: no dW compute

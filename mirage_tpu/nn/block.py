@@ -44,8 +44,10 @@ def block_apply(p, x, num_heads, *, impl="auto", drop=0.0, attn_drop=0.0,
     # path (seg tuning's 0.1 stochastic depth). In TRAINING the attention
     # half fuses only at short sequences: measured +7% at N=99 (pretraining)
     # but -5% at N=257 (cls full-FT, where the XLA qkv/proj matmuls at
-    # B*N=16k rows beat the per-element kernel recompute) — the MLP half
-    # fuses at any N either way.
+    # B*N=16k rows beat the per-element kernel RECOMPUTE in the backward) —
+    # the MLP half fuses at any N either way. grad_free (frozen-encoder
+    # probe) has no backward, so it takes the fused half at any N like
+    # inference does.
     static_identity_regularizers = (
         drop == 0.0 and attn_drop == 0.0
         and isinstance(drop_path_rate, (int, float)) and drop_path_rate == 0.0)
@@ -54,7 +56,8 @@ def block_apply(p, x, num_heads, *, impl="auto", drop=0.0, attn_drop=0.0,
     # kernels' scan had a consumer — dh=32 (decoders) and 64 (all reference
     # encoder sizes) compile fine.
     fused_inference = ((deterministic
-                        or (static_identity_regularizers and x.shape[1] <= 128))
+                        or (static_identity_regularizers
+                            and (x.shape[1] <= 128 or grad_free)))
                        and impl in ("auto", "block")
                        and x.shape[1] <= 512
                        and (x.shape[-1] // num_heads) % 32 == 0 and _on_tpu())

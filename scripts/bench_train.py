@@ -9,6 +9,7 @@ pool, batch 64, probe + full FT). Timings: chained dispatch, one host sync.
 artifacts (BENCH_TRAIN_r*.json); stdout always gets the human lines.
 """
 import argparse
+import functools
 import json
 import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -133,7 +134,7 @@ def bench_cls(linear_probing, remat):
         pooled = layer_norm(p["norm"], tokens)[:, :-1].mean(axis=1)
         return linear(p["head"], pooled.astype(jnp.float32))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, rng, lr, wdm):
         def wrapped(p):
             logits = apply(opt.stop_frozen(p), batch["x"], rng)
