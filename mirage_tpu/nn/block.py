@@ -95,16 +95,22 @@ def block_apply(p, x, num_heads, *, impl="auto", drop=0.0, attn_drop=0.0,
         from mirage_tpu.ops.fused_mlp import mlp_block
 
         return mlp_block(x, p["norm2"], p["mlp"], grad_free=grad_free)
-    if (grad_free and drop == 0.0 and impl in ("auto", "block")
+    if (drop == 0.0 and impl in ("auto", "block")
+            and (grad_free or x.shape[1] <= 512)
             and (x.shape[-1] // num_heads) % 32 == 0 and _on_tpu()):
-        # frozen-encoder training with stochastic depth (seg fast path):
-        # the fused MLP runs WITHOUT its residual so the drop-path scaling
-        # applies to the branch before the skip-add. grad_free only — the
-        # no-residual form has no custom VJP (none is needed under the
-        # encoder-output stop-gradient).
+        # training with stochastic depth (seg tuning's drop_path 0.1, which
+        # is a traced per-layer rate): the fused MLP runs WITHOUT its
+        # residual so the drop-path scaling applies to the bare branch
+        # before the skip-add; a no-residual custom VJP keeps it
+        # differentiable. The differentiable form gates at N<=512: the
+        # backward kernel's (N, 4D) f32 recompute intermediates exceed the
+        # 64 MB VMEM budget at the seg shape (N=1025 OOM'd at 87 MB) — the
+        # grad-free fast path runs the forward-only kernel, which fits at
+        # any N (this is the 93.8 -> 97.1 img/s seg fast-path win).
         from mirage_tpu.ops.fused_mlp import mlp_block
 
-        h = mlp_block(x, p["norm2"], p["mlp"], grad_free=True, residual=False)
+        h = mlp_block(x, p["norm2"], p["mlp"], grad_free=grad_free,
+                      residual=False)
         return x + drop_path(h, drop_path_rate, deterministic=deterministic,
                              rng=r[3])
     h = layer_norm(p["norm2"], x)

@@ -399,19 +399,43 @@ def _mlp_block_bwd_vjp(res, g):
 _mlp_block.defvjp(_mlp_block_fwd_vjp, _mlp_block_bwd_vjp)
 
 
+@jax.custom_vjp
+def _mlp_block_nores(x, gamma, beta, w1, b1, w2, b2):
+    return _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, residual=False)
+
+
+def _mlp_block_nores_fwd_vjp(x, gamma, beta, w1, b1, w2, b2):
+    return (_mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, residual=False),
+            (x, gamma, beta, w1, b1, w2, b2))
+
+
+def _mlp_block_nores_bwd_vjp(res, g):
+    # identical backward math to the residual form except the skip-add's
+    # pass-through cotangent: dx_nores = dx_res - g (exact — the residual
+    # contributes g additively and nothing else)
+    out = _mlp_block_bwd_vjp(res, g)
+    return (out[0] - g.astype(out[0].dtype),) + out[1:]
+
+
+_mlp_block_nores.defvjp(_mlp_block_nores_fwd_vjp, _mlp_block_nores_bwd_vjp)
+
+
 def mlp_block(x, norm2, mlp, interpret: bool = False, grad_free: bool = False,
               residual: bool = True):
     """Fused x + MLP(LN(x)) over pytree params ({'scale','bias'},
     {'fc1','fc2'}). Differentiable (backward recomputes via XLA).
 
-    residual=False returns MLP(LN(x)) WITHOUT the skip-add, for callers that
-    must scale the branch first (stochastic depth in the seg fast path);
-    only valid under grad_free/stop-gradient — no custom VJP is registered
-    for the no-residual form."""
+    residual=False returns MLP(LN(x)) WITHOUT the skip-add, for callers
+    that must scale the branch before the skip (stochastic depth). It is
+    differentiable: the no-residual backward is the residual backward minus
+    the skip's pass-through cotangent (dx_nores = dx_res - g, exact)."""
     args = (x, norm2["scale"], norm2["bias"], mlp["fc1"]["w"], mlp["fc1"]["b"],
             mlp["fc2"]["w"], mlp["fc2"]["b"])
     if not residual:
-        return _mlp_block_fwd(*args, interpret=interpret, residual=False)
+        if interpret or grad_free:
+            # cheapest trace when no backward can reach this op
+            return _mlp_block_fwd(*args, interpret=interpret, residual=False)
+        return _mlp_block_nores(*args)
     if interpret:
         return _mlp_block_fwd(*args, interpret=True)
     del grad_free  # accepted but ignored — see attn_half_block

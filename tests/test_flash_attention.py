@@ -337,3 +337,32 @@ def test_mlp_block_no_residual_matches(rng):
     got_r = mlp_block(x, p["norm2"], p["mlp"], interpret=True)
     np.testing.assert_allclose(np.asarray(got_r), np.asarray(x + want),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_mlp_block_nores_vjp_matches(rng):
+    """The no-residual custom VJP equals jax.vjp of (block - x): the
+    residual's only contribution to the backward is the pass-through
+    cotangent, so dx_nores = dx_res - g exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from mirage_tpu.nn.block import block_init
+    from mirage_tpu.ops.fused_mlp import (_mlp_block_nores_bwd_vjp,
+                                          _mlp_block_xla)
+
+    d = 48
+    p = block_init(jax.random.PRNGKey(0), d, qkv_bias=True)
+    x = jnp.asarray(rng.standard_normal((3, 7, d)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((3, 7, d)).astype(np.float32))
+    args = (x, p["norm2"]["scale"], p["norm2"]["bias"], p["mlp"]["fc1"]["w"],
+            p["mlp"]["fc1"]["b"], p["mlp"]["fc2"]["w"], p["mlp"]["fc2"]["b"])
+
+    def nores_ref(*a):
+        return _mlp_block_xla(*a) - a[0]
+
+    _, vjp = jax.vjp(nores_ref, *args)
+    want = vjp(g)
+    got = _mlp_block_nores_bwd_vjp(args, g)  # CPU backend -> XLA fallback
+    for w, gt in zip(want, got):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(w),
+                                   atol=1e-5, rtol=1e-4)
