@@ -33,6 +33,7 @@ from mirage_tpu.nn.conv import (
     batch_norm2d_init,
     conv2d,
     conv2d_init,
+    conv2d_nhwc,
     conv_transpose2d,
     conv_transpose2d_init,
 )
@@ -71,10 +72,18 @@ def convnext_block_init(key, dim, dtype=jnp.float32):
 
 
 def convnext_block_apply(p, x, *, drop_path_rate=0.0, deterministic=True, rng=None):
-    """x: (B, C, H, W). Depthwise 7x7 -> LN (channels-last) -> MLP -> residual."""
+    """x: (B, H, W, C) channels-last. Depthwise 7x7 -> LN -> MLP -> residual.
+
+    The reference block is NCHW because torch convs are channels-first
+    (output_adapter_utils.py:36-46, .permute()s around the LN/MLP). On TPU
+    the LN + pointwise-matmul chain is channels-last native, and the round-3
+    seg trace showed ~3 ms/step of pure NCHW<->NHWC copies around the
+    fused-MLP custom calls — so the head carries NHWC end-to-end (the dwconv
+    runs with NHWC dimension_numbers over the unchanged OIHW weights) and
+    the transposes vanish. Same math; conv sums reassociate only."""
     inp = x
-    dim = x.shape[1]
-    x = conv2d(p["dwconv"], x, padding=3, groups=dim)
+    dim = x.shape[-1]
+    x = conv2d_nhwc(p["dwconv"], x, padding=3, groups=dim)
     from mirage_tpu.nn.attention import _on_tpu
 
     fused = ("gamma" not in p and _on_tpu()
@@ -92,20 +101,19 @@ def convnext_block_apply(p, x, *, drop_path_rate=0.0, deterministic=True, rng=No
         # ulp of t, at the same scale as the adds around it.
         from mirage_tpu.ops.fused_mlp import mlp_block
 
-        b, c, h, w = x.shape
-        t = x.transpose(0, 2, 3, 1).reshape(b * h * w, c)
-        out = mlp_block(t, p["norm"], {"fc1": p["pwconv1"], "fc2": p["pwconv2"]})
-        mlp_out = (out - t).reshape(b, h, w, c).transpose(0, 3, 1, 2)
+        b, h, w, c = x.shape
+        t = x.reshape(b * h * w, c)
+        out = mlp_block(t, p["norm"], {"fc1": p["pwconv1"], "fc2": p["pwconv2"]},
+                        stash=True)
+        mlp_out = (out - t).reshape(b, h, w, c)
         return inp + drop_path(mlp_out, drop_path_rate,
                                deterministic=deterministic, rng=rng)
-    x = x.transpose(0, 2, 3, 1)  # NHWC: LN + matmuls are channels-last native
     x = layer_norm(p["norm"], x)
     x = linear(p["pwconv1"], x)
     x = gelu(x)
     x = linear(p["pwconv2"], x)
     if "gamma" in p:
         x = p["gamma"].astype(x.dtype) * x
-    x = x.transpose(0, 3, 1, 2)
     return inp + drop_path(x, drop_path_rate, deterministic=deterministic, rng=rng)
 
 
@@ -200,12 +208,19 @@ class ConvNeXtAdapter:
         x = linear(params["proj_dec"], x)  # (B, N, embed_dim)
         b = x.shape[0]
         c = self.class_dim
-        # (B, nh*nw, sub*sub*c) -> (B, c, nh*sub, nw*sub)
+        # (B, nh*nw, sub*sub*c) -> (B, nh*sub, nw*sub, c): tokens are already
+        # channels-last, so the NHWC head needs no channel-first transpose
+        # (reference builds NCHW here, output_adapters.py: rearrange to
+        # b (c) (nh sub) (nw sub) — same spatial mapping, layout only)
         x = x.reshape(b, nh, nw, sub, sub, c)
-        x = x.transpose(0, 5, 1, 3, 2, 4).reshape(b, c, nh * sub, nw * sub)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, nh * sub, nw * sub, c)
         for bp in params["blocks"]:
             x = convnext_block_apply(bp, x, deterministic=deterministic, rng=rng)
-        x = conv2d(params["final_layer"], x)
+        # final 1x1 conv == channel matmul in NHWC (weight stays (O, I, 1, 1))
+        fw = params["final_layer"]["w"]
+        x = x @ fw[:, :, 0, 0].T.astype(x.dtype)
+        x = x + params["final_layer"]["b"].astype(x.dtype)
+        x = x.transpose(0, 3, 1, 2)  # (B, classes, H', W') — tiny at ncls chans
         return resize2d(x, (h, w), mode=self.interpolate_mode, align_corners=False)
 
     def params_from_torch(self, sd, pre):

@@ -353,6 +353,222 @@ def _mlp_block_bwd_pallas(x, dy, gamma, beta, w1, b1, w2, interpret=False):
     return (dx, *grads)
 
 
+# ---------------------------------------------------------------------------
+# Stash variant: forward emits the post-GELU activation and the GELU
+# derivative so the backward needs NO fc1 recompute and NO transcendentals.
+#
+# Economics (v5e): the stash pays 4 B/hidden-element of HBM round-trip
+# (2 bf16 arrays written in fwd, read in bwd ≈ 4.9 ps/elem at 819 GB/s) to
+# delete 4·d FLOP/elem of fc1 recompute (≈ 2·d/197e12 s) plus the erf+exp
+# VPU passes from the backward kernel. That trades profitably for
+# d ≳ 350; it LOSES for the dim-256 decoders (traffic > saved compute) and
+# for any call under remat (the rematerialized forward would then run the
+# full fwd again INCLUDING the stash writes, where today XLA DCEs the fwd
+# because the bwd kernel self-recomputes). Hence opt-in via
+# mlp_block(stash=True) — today only the seg ConvNeXt head (d=384, no
+# remat, 131k rows) takes it.
+# ---------------------------------------------------------------------------
+
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _mlp_fwd_stash_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
+                          b2_ref, o_ref, act_ref, dg_ref, *,
+                          residual: bool = True):
+    x = x_ref[...]
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        - jnp.square(mean), 0.0)
+    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-6)
+    y = y * g_ref[...].astype(jnp.float32) + be_ref[...].astype(jnp.float32)
+    y = y.astype(x.dtype)
+    h = jax.lax.dot_general(y, w1_ref[...].astype(x.dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = h + b1_ref[...].astype(jnp.float32)
+    e = _erf(h / _SQRT2)
+    act = (0.5 * h * (1.0 + e)).astype(x.dtype)
+    act_ref[...] = act
+    # gelu'(h) = 0.5(1+erf(h/sqrt2)) + h*phi(h); computed here (one extra exp
+    # pass) so the backward runs transcendental-free
+    dg_ref[...] = (0.5 * (1.0 + e)
+                   + h * jnp.exp2(-0.5 * _LOG2E * h * h) * _INV_SQRT_2PI
+                   ).astype(dg_ref.dtype)
+    o = jax.lax.dot_general(act, w2_ref[...].astype(x.dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o = o + b2_ref[...].astype(jnp.float32)
+    o_ref[...] = x + o.astype(x.dtype) if residual else o.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "residual"))
+def _mlp_block_fwd_stash(x, gamma, beta, w1, b1, w2, b2, interpret=False,
+                         residual=True):
+    """2-D rows only. Returns (out, act, dgelu); out is bit-identical to
+    _mlp_block_fwd (same f32 kernel math, same bf16 act fed to fc2)."""
+    m, d = x.shape
+    hdim = w1.shape[-1]
+    kern = functools.partial(_mlp_fwd_stash_kernel, residual=residual)
+    kwargs = {}
+    if _HAVE_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024)
+    w_specs = [pl.BlockSpec(shape, lambda i: (0, 0))
+               for shape in ((1, d), (1, d), (d, hdim), (1, hdim),
+                             (hdim, d), (1, d))]
+    flat = (gamma.reshape(1, d), beta.reshape(1, d), w1, b1.reshape(1, hdim),
+            w2, b2.reshape(1, d))
+    blk = m
+    # ~4 f32 hidden passes + 2 bf16 stash outputs live per block
+    for cand in (2048, 1024, 512, 256, 128):
+        if m % cand == 0 and cand * hdim * 16 + 4 * d * hdim < 40 * 2 ** 20:
+            blk = cand
+            break
+    out, act, dg = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((m, d), x.dtype),
+                   jax.ShapeDtypeStruct((m, hdim), x.dtype),
+                   jax.ShapeDtypeStruct((m, hdim), x.dtype)],
+        grid=(pl.cdiv(m, blk),),
+        in_specs=[pl.BlockSpec((blk, d), lambda i: (i, 0))] + w_specs,
+        out_specs=[pl.BlockSpec((blk, d), lambda i: (i, 0)),
+                   pl.BlockSpec((blk, hdim), lambda i: (i, 0)),
+                   pl.BlockSpec((blk, hdim), lambda i: (i, 0))],
+        interpret=interpret,
+        **kwargs,
+    )(x, *flat)
+    return out, act, dg
+
+
+def _mlp_bwd_stash_kernel(x_ref, dy_ref, act_ref, dgelu_ref, g_ref, be_ref,
+                          w1_ref, w2_ref, dx_ref, dgm_ref, dbe_ref, dw1_ref,
+                          db1_ref, dw2_ref, db2_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dgm_ref[...] = jnp.zeros_like(dgm_ref)
+        dbe_ref[...] = jnp.zeros_like(dbe_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    x = x_ref[...]
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + 1e-6)
+    yhat = (x32 - mean) * inv
+    g32 = g_ref[...].astype(jnp.float32)
+    y = (yhat * g32 + be_ref[...].astype(jnp.float32)).astype(x.dtype)
+    w1c = w1_ref[...]
+    w2c = w2_ref[...]
+    dy = dy_ref[...]
+    dy32 = dy.astype(jnp.float32)
+    db2_ref[...] += jnp.sum(dy32, axis=0, keepdims=True)
+    act = act_ref[...]
+    dw2_ref[...] += jax.lax.dot_general(act, dy, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    dact = jax.lax.dot_general(dy, w2c, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dh = dact * dgelu_ref[...].astype(jnp.float32)
+    db1_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
+    dh_c = dh.astype(x.dtype)
+    dw1_ref[...] += jax.lax.dot_general(y, dh_c, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    dyln = jax.lax.dot_general(dh_c, w1c, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dgm_ref[...] += jnp.sum(dyln * yhat, axis=0, keepdims=True)
+    dbe_ref[...] += jnp.sum(dyln, axis=0, keepdims=True)
+    dyhat = dyln * g32
+    m1 = jnp.mean(dyhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyhat * yhat, axis=-1, keepdims=True)
+    dx = dy32 + inv * (dyhat - m1 - yhat * m2)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mlp_block_bwd_stash(x, dy, act, dgelu, gamma, beta, w1, w2,
+                         interpret=False):
+    """Stash-consuming backward (2-D rows): 4 matmuls, no transcendentals.
+    Returns (dx, dgamma, dbeta, dw1, db1, dw2, db2); parameter grads f32."""
+    m, d = x.shape
+    hdim = w1.shape[-1]
+    kwargs = {}
+    if _HAVE_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024)
+    w_specs = [pl.BlockSpec(shape, lambda i: (0, 0))
+               for shape in ((1, d), (1, d), (d, hdim), (hdim, d))]
+    flat = (gamma.reshape(1, d), beta.reshape(1, d), w1.astype(x.dtype),
+            w2.astype(x.dtype))
+    grad_shapes = [
+        jax.ShapeDtypeStruct((1, d), jnp.float32),      # dgamma
+        jax.ShapeDtypeStruct((1, d), jnp.float32),      # dbeta
+        jax.ShapeDtypeStruct((d, hdim), jnp.float32),   # dw1
+        jax.ShapeDtypeStruct((1, hdim), jnp.float32),   # db1
+        jax.ShapeDtypeStruct((hdim, d), jnp.float32),   # dw2
+        jax.ShapeDtypeStruct((1, d), jnp.float32),      # db2
+    ]
+    grad_specs = [pl.BlockSpec(s.shape, lambda i: (0,) * len(s.shape))
+                  for s in grad_shapes]
+    blk = m
+    # live per block: act+dgelu bf16 (4 B/elem) + dact/dh f32 (8) + dh_c (2)
+    for cand in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if m % cand == 0 and cand * hdim * 14 + 12 * d * hdim < 48 * 2 ** 20:
+            blk = cand
+            break
+    dx, *grads = pl.pallas_call(
+        _mlp_bwd_stash_kernel,
+        out_shape=[jax.ShapeDtypeStruct((m, d), x.dtype)] + grad_shapes,
+        grid=(m // blk,),
+        in_specs=[pl.BlockSpec((blk, d), lambda i: (i, 0)),
+                  pl.BlockSpec((blk, d), lambda i: (i, 0)),
+                  pl.BlockSpec((blk, hdim), lambda i: (i, 0)),
+                  pl.BlockSpec((blk, hdim), lambda i: (i, 0))] + w_specs,
+        out_specs=[pl.BlockSpec((blk, d), lambda i: (i, 0))] + grad_specs,
+        interpret=interpret,
+        **kwargs,
+    )(x, dy, act, dgelu, *flat)
+    return (dx, *grads)
+
+
+@jax.custom_vjp
+def _mlp_block_stash(x, gamma, beta, w1, b1, w2, b2):
+    return _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2)
+
+
+def _mlp_block_stash_fwd_vjp(x, gamma, beta, w1, b1, w2, b2):
+    if jax.default_backend() == "tpu" and _HAVE_PLTPU:
+        out, act, dg = _mlp_block_fwd_stash(x, gamma, beta, w1, b1, w2, b2)
+        return out, (x, gamma, beta, w1, b1, w2, b2, act, dg)
+    return _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2), \
+        (x, gamma, beta, w1, b1, w2, b2, None, None)
+
+
+def _mlp_block_stash_bwd_vjp(res, g):
+    x, gamma, beta, w1, b1, w2, b2, act, dgelu = res
+    if act is None:
+        return _mlp_block_bwd_vjp((x, gamma, beta, w1, b1, w2, b2), g)
+    dx, dgm, dbe, dw1, db1, dw2, db2 = _mlp_block_bwd_stash(
+        x, g, act, dgelu, gamma, beta, w1, w2)
+    dx, dgm, dbe, dw1, db1, dw2, db2 = jax.lax.optimization_barrier(
+        (dx, dgm, dbe, dw1, db1, dw2, db2))
+    return (dx.astype(x.dtype),
+            dgm.reshape(gamma.shape).astype(gamma.dtype),
+            dbe.reshape(beta.shape).astype(beta.dtype),
+            dw1.astype(w1.dtype), db1.reshape(b1.shape).astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.reshape(b2.shape).astype(b2.dtype))
+
+
+_mlp_block_stash.defvjp(_mlp_block_stash_fwd_vjp, _mlp_block_stash_bwd_vjp)
+
+
 def _mlp_block_xla(x, gamma, beta, w1, b1, w2, b2):
     """Reference path (identical ops via nn.layers) for backward recompute
     and CPU fallback."""
@@ -421,14 +637,20 @@ _mlp_block_nores.defvjp(_mlp_block_nores_fwd_vjp, _mlp_block_nores_bwd_vjp)
 
 
 def mlp_block(x, norm2, mlp, interpret: bool = False, grad_free: bool = False,
-              residual: bool = True):
+              residual: bool = True, stash: bool = False):
     """Fused x + MLP(LN(x)) over pytree params ({'scale','bias'},
     {'fc1','fc2'}). Differentiable (backward recomputes via XLA).
 
     residual=False returns MLP(LN(x)) WITHOUT the skip-add, for callers
     that must scale the branch before the skip (stochastic depth). It is
     differentiable: the no-residual backward is the residual backward minus
-    the skip's pass-through cotangent (dx_nores = dx_res - g, exact)."""
+    the skip's pass-through cotangent (dx_nores = dx_res - g, exact).
+
+    stash=True (2-D x, residual form only) uses the stash-variant custom
+    VJP: the forward writes the post-GELU activation + GELU derivative to
+    HBM so the backward runs 4 matmuls with no fc1 recompute and no
+    transcendentals. Opt-in — see the stash section's economics note (wins
+    at d ≳ 350 outside remat; the ConvNeXt seg head's case)."""
     args = (x, norm2["scale"], norm2["bias"], mlp["fc1"]["w"], mlp["fc1"]["b"],
             mlp["fc2"]["w"], mlp["fc2"]["b"])
     if not residual:
@@ -439,4 +661,6 @@ def mlp_block(x, norm2, mlp, interpret: bool = False, grad_free: bool = False,
     if interpret:
         return _mlp_block_fwd(*args, interpret=True)
     del grad_free  # accepted but ignored — see attn_half_block
+    if stash and x.ndim == 2:
+        return _mlp_block_stash(*args)
     return _mlp_block(*args)

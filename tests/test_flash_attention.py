@@ -238,6 +238,46 @@ def test_mlp_block_backward_kernel_matches_xla(rng):
                 atol=5e-4, rtol=1e-3, err_msg=f"{name} @ {shape}")
 
 
+def test_mlp_block_stash_kernels_match_xla(rng):
+    """Stash-variant fused MLP (interpret mode): the stash forward's primal
+    output matches the plain kernel bit-for-bit (same f32 kernel math), and
+    the stash-consuming backward (no fc1 recompute, no transcendentals)
+    matches jax.vjp through the XLA half-block."""
+    import jax
+    import jax.numpy as jnp
+
+    from mirage_tpu.ops.fused_mlp import (
+        _mlp_block_bwd_stash, _mlp_block_fwd, _mlp_block_fwd_stash,
+        _mlp_block_xla)
+
+    m, d = 96, 48
+    hdim = 4 * d
+    x = jnp.asarray(rng.standard_normal((m, d)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((m, d)).astype(np.float32))
+    gamma = jnp.asarray(1.0 + 0.1 * rng.standard_normal(d).astype(np.float32))
+    beta = jnp.asarray(0.1 * rng.standard_normal(d).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((d, hdim)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(0.1 * rng.standard_normal(hdim).astype(np.float32))
+    w2 = jnp.asarray(rng.standard_normal((hdim, d)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(0.1 * rng.standard_normal(d).astype(np.float32))
+
+    out_plain = _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, interpret=True)
+    out, act, dgelu = _mlp_block_fwd_stash(x, gamma, beta, w1, b1, w2, b2,
+                                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_plain))
+    assert act.shape == (m, hdim) and dgelu.shape == (m, hdim)
+
+    _, vjp = jax.vjp(_mlp_block_xla, x, gamma, beta, w1, b1, w2, b2)
+    want = vjp(g)
+    got = _mlp_block_bwd_stash(x, g, act, dgelu, gamma, beta, w1, w2,
+                               interpret=True)
+    names = ["dx", "dgamma", "dbeta", "dw1", "db1", "dw2", "db2"]
+    for name, gg, ww in zip(names, got, want):
+        np.testing.assert_allclose(
+            np.asarray(gg).reshape(np.asarray(ww).shape), np.asarray(ww),
+            atol=5e-4, rtol=1e-3, err_msg=name)
+
+
 def test_attn_half_backward_kernel_matches_xla(rng):
     """Pallas attention-half backward (interpret mode): dx + all parameter
     grads vs jax.vjp through the XLA half-block."""
