@@ -4,11 +4,12 @@
 Headline workload: MIRAGE-Large inference on the mirage_wrapper.py path
 (bscan present at 512²/p32; slo + 13-class layermap reconstructed by the
 three SpatialOutputAdapter decoders), bf16 compute and bf16-resident params,
-batch 256 (round-3 sweeps: pre-exp2 kernels 64->857, 96->868, 128->876,
+batch 512 (round-3 sweeps: pre-exp2 kernels 64->857, 96->868, 128->876,
 192->881, 256->884.5, 320->884.6 — the round-2b absent-modality skip +
 half-block fusion moved the optimum up from batch 64; with the
-exp2-softmax/one-pass-LN kernels 64->871, 256->894; round-1 XLA-path
-optimum was batch 48 at 485).
+exp2-softmax/one-pass-LN kernels 64->871, 256->894.1, 320->894.1,
+384->896.1, 512->898.7 — still rising gently, 512 keeps step latency
+under 600 ms; round-1 XLA-path optimum was batch 48 at 485).
 
 Timing: dispatches are chained through a scalar accumulator and synced once
 at the end — block_until_ready is a no-op on the tunneled axon platform and
@@ -30,8 +31,8 @@ import numpy as np
 
 
 A100_EST_IMG_PER_SEC = 890.0
-BATCH = 256
-ITERS = 20
+BATCH = 512
+ITERS = 12
 
 
 def main_all():

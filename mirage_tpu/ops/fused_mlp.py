@@ -367,6 +367,16 @@ def _mlp_block_bwd_pallas(x, dy, gamma, beta, w1, b1, w2, interpret=False):
 # because the bwd kernel self-recomputes). Hence opt-in via
 # mlp_block(stash=True) — today only the seg ConvNeXt head (d=384, no
 # remat, 131k rows) takes it.
+#
+# Measured NEGATIVES (don't redo, v5e round 3):
+#   - single-h stash (stash only the pre-GELU h, re-derive act/gelu' in the
+#     bwd with one erf+exp pass): seg fast path 101.1 -> 95.9 img/s. The
+#     halved stash DMA is grid-pipelined (~free) while the added VPU
+#     transcendentals serialize against the MXU — two stashes + zero
+#     transcendentals is the right trade on this hardware.
+#   - enabling stash for the dim-256 pretraining decoder MLPs (aligned-3-D
+#     reshape to 2-D rows): 1083-1091 -> 1080.5 img/s (flat-to-negative),
+#     as the economics above predict at d=256.
 # ---------------------------------------------------------------------------
 
 _INV_SQRT_2PI = 0.3989422804014327
