@@ -219,7 +219,8 @@ class ConvNeXtAdapter:
         # final 1x1 conv == channel matmul in NHWC (weight stays (O, I, 1, 1))
         fw = params["final_layer"]["w"]
         x = x @ fw[:, :, 0, 0].T.astype(x.dtype)
-        x = x + params["final_layer"]["b"].astype(x.dtype)
+        if "b" in params["final_layer"]:  # bias optional, like conv2d
+            x = x + params["final_layer"]["b"].astype(x.dtype)
         x = x.transpose(0, 3, 1, 2)  # (B, classes, H', W') — tiny at ncls chans
         return resize2d(x, (h, w), mode=self.interpolate_mode, align_corners=False)
 

@@ -35,39 +35,33 @@ def conv2d_init(key, in_channels, out_channels, kernel_size, *, groups=1,
     return p
 
 
-def conv2d(p, x, *, stride=1, padding=0, groups=1, dilation=1):
-    """x: (B, C, H, W); weight (O, I/groups, kH, kW) torch layout."""
+def conv2d(p, x, *, stride=1, padding=0, groups=1, dilation=1,
+           channels_last=False):
+    """x: (B, C, H, W) — or (B, H, W, C) with channels_last=True; weight
+    (O, I/groups, kH, kW) torch layout either way."""
     s = _pair(stride)
     d = _pair(dilation)
     pad = _pair(padding)
+    fmt = "NHWC" if channels_last else "NCHW"
     w = p["w"].astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=s, padding=[(pad[0], pad[0]), (pad[1], pad[1])],
         rhs_dilation=d, feature_group_count=groups,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        dimension_numbers=(fmt, "OIHW", fmt))
     if "b" in p:
-        y = y + p["b"].astype(y.dtype).reshape(1, -1, 1, 1)
+        b = p["b"].astype(y.dtype)
+        y = y + (b if channels_last else b.reshape(1, -1, 1, 1))
     return y
 
 
-def conv2d_nhwc(p, x, *, stride=1, padding=0, groups=1, dilation=1):
+def conv2d_nhwc(p, x, **kwargs):
     """Channels-last conv2d: x (B, H, W, C); weight stays in the stored torch
     (O, I/groups, kH, kW) layout — lax dimension_numbers map it directly, so
     checkpoint interop is unchanged. On TPU the NHWC form avoids the
     NCHW<->NHWC layout copies XLA otherwise inserts around channels-last
     consumers (the ConvNeXt head's fused-MLP kernels; ~3 ms/step in the
     round-3 seg trace)."""
-    s = _pair(stride)
-    d = _pair(dilation)
-    pad = _pair(padding)
-    w = p["w"].astype(x.dtype)
-    y = jax.lax.conv_general_dilated(
-        x, w, window_strides=s, padding=[(pad[0], pad[0]), (pad[1], pad[1])],
-        rhs_dilation=d, feature_group_count=groups,
-        dimension_numbers=("NHWC", "OIHW", "NHWC"))
-    if "b" in p:
-        y = y + p["b"].astype(y.dtype)
-    return y
+    return conv2d(p, x, channels_last=True, **kwargs)
 
 
 def conv_transpose2d_init(key, in_channels, out_channels, kernel_size, *,

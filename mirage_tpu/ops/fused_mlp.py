@@ -247,6 +247,29 @@ def _mlp_bwd_kernel(x_ref, dy_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
         db2_ref[...] += db2
 
 
+def _pick_bwd_block(m, d, hdim, live_bytes_per_row_unit, fixed_bytes,
+                    budget=48 * 2 ** 20, ceiling=58 * 2 ** 20):
+    """Largest row block for a sequential accumulating backward grid.
+
+    Three tiers: (1) largest divisor of m whose VMEM estimate fits the perf
+    budget (48 MB of the 64 MB Mosaic limit — headroom for double
+    buffering; a 56 MB budget regressed pretraining 1091 -> 1040 img/s);
+    (2) if the fixed term (weights + f32 dW accumulators) alone exceeds the
+    budget — e.g. d=1024/hdim=4096, the ViT-L MLP, where 12*d*hdim ≈ 50 MB
+    — the largest divisor that still fits under a hard ceiling near the
+    Mosaic limit, so the kernel degrades to smaller blocks instead of
+    failing to compile; (3) None for ragged m (no divisor at all): padded
+    rows would pollute the accumulators, so callers run a single block or
+    fall back to the non-stash path."""
+    for cand in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if m % cand == 0 and cand * hdim * live_bytes_per_row_unit + fixed_bytes < budget:
+            return cand
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        if m % cand == 0 and cand * hdim * live_bytes_per_row_unit + fixed_bytes < ceiling:
+            return cand
+    return None
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _mlp_block_bwd_pallas(x, dy, gamma, beta, w1, b1, w2, interpret=False):
     """Returns (dx, dgamma, dbeta, dw1, db1, dw2, db2); parameter grads f32."""
@@ -321,23 +344,10 @@ def _mlp_block_bwd_pallas(x, dy, gamma, beta, w1, b1, w2, interpret=False):
     # seg ConvNeXt head's (131072, 384) backward ran at 5x its matmul floor
     # with blk=512 (round-3 trace: 5.05 ms/block). Cap by a VMEM estimate:
     # ~4.5 f32 hidden-size passes live at once, + weights + f32 accumulators.
-    blk = None
     # fixed VMEM: bf16 w1+w2 (4*d*hdim B) + f32 dw1+dw2 accumulators
-    # (8*d*hdim B); ~4.5 f32 hidden-size passes live per block. The 48 MB
-    # budget (of the 64 MB limit) leaves double-buffering headroom — a
-    # 56 MB budget let d=768 pick blk=512 and REGRESSED pretraining
-    # 1091 -> 1040 img/s. NOTE at d=1024/hdim=4096 the fixed term alone is
-    # ~50 MB, so no cand fits — fall back to the pre-round-3 candidate
-    # list rather than blk=m (a giant block would blow VMEM outright).
-    for cand in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
-        if m % cand == 0 and cand * hdim * 18 + 12 * d * hdim < 48 * 2 ** 20:
-            blk = cand
-            break
-    if blk is None:
-        for cand in (512, 256, 128, 64, 32, 16, 8):
-            if m % cand == 0:
-                blk = cand
-                break
+    # (8*d*hdim B); ~4.5 f32 hidden-size passes live per block
+    # (see _pick_bwd_block for the budget/ceiling tiers).
+    blk = _pick_bwd_block(m, d, hdim, 18, 12 * d * hdim)
     if blk is None:  # ragged row count: padded rows would pollute the
         blk = m      # accumulators, so run it as a single block
     dx, *grads = pl.pallas_call(
@@ -431,9 +441,13 @@ def _mlp_block_fwd_stash(x, gamma, beta, w1, b1, w2, b2, interpret=False,
                              (hdim, d), (1, d))]
     flat = (gamma.reshape(1, d), beta.reshape(1, d), w1, b1.reshape(1, hdim),
             w2, b2.reshape(1, d))
-    blk = m
-    # ~4 f32 hidden passes + 2 bf16 stash outputs live per block
-    for cand in (2048, 1024, 512, 256, 128):
+    # ~4 f32 hidden passes + 2 bf16 stash outputs live per block; the grid
+    # is cdiv so a non-dividing blk is fine (clipped final block), and the
+    # min(512, m) floor keeps a ragged m from becoming one giant program
+    blk = min(512, m)
+    while blk > 8 and blk * hdim * 16 + 4 * d * hdim >= 58 * 2 ** 20:
+        blk //= 2  # stay under the Mosaic limit at very large hidden dims
+    for cand in (2048, 1024):
         if m % cand == 0 and cand * hdim * 16 + 4 * d * hdim < 40 * 2 ** 20:
             blk = cand
             break
@@ -527,12 +541,11 @@ def _mlp_block_bwd_stash(x, dy, act, dgelu, gamma, beta, w1, w2,
     ]
     grad_specs = [pl.BlockSpec(s.shape, lambda i: (0,) * len(s.shape))
                   for s in grad_shapes]
-    blk = m
-    # live per block: act+dgelu bf16 (4 B/elem) + dact/dh f32 (8) + dh_c (2)
-    for cand in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
-        if m % cand == 0 and cand * hdim * 14 + 12 * d * hdim < 48 * 2 ** 20:
-            blk = cand
-            break
+    # live per block: act+dgelu bf16 (4 B/elem) + dact/dh f32 (8) + dh_c (2);
+    # callers gate on _stash_viable, so blk is never None here in practice
+    blk = _pick_bwd_block(m, d, hdim, 14, 12 * d * hdim)
+    if blk is None:
+        blk = m
     dx, *grads = pl.pallas_call(
         _mlp_bwd_stash_kernel,
         out_shape=[jax.ShapeDtypeStruct((m, d), x.dtype)] + grad_shapes,
@@ -548,13 +561,22 @@ def _mlp_block_bwd_stash(x, dy, act, dgelu, gamma, beta, w1, w2,
     return (dx, *grads)
 
 
+def _stash_viable(m, d, hdim):
+    """The stash backward's accumulating grid needs a divisor block within
+    VMEM (grid = m // blk); without one (ragged m, or hidden dims whose
+    fixed weight+accumulator footprint busts the ceiling) the stash path
+    must not engage — the plain custom VJP handles those shapes."""
+    return _pick_bwd_block(m, d, hdim, 14, 12 * d * hdim) is not None
+
+
 @jax.custom_vjp
 def _mlp_block_stash(x, gamma, beta, w1, b1, w2, b2):
     return _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2)
 
 
 def _mlp_block_stash_fwd_vjp(x, gamma, beta, w1, b1, w2, b2):
-    if jax.default_backend() == "tpu" and _HAVE_PLTPU:
+    if (jax.default_backend() == "tpu" and _HAVE_PLTPU
+            and _stash_viable(x.shape[0], x.shape[-1], w1.shape[-1])):
         out, act, dg = _mlp_block_fwd_stash(x, gamma, beta, w1, b1, w2, b2)
         return out, (x, gamma, beta, w1, b1, w2, b2, act, dg)
     return _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2), \
@@ -599,13 +621,34 @@ def _mlp_block_fwd_vjp(x, gamma, beta, w1, b1, w2, b2):
         (x, gamma, beta, w1, b1, w2, b2)
 
 
+def _bwd_kernel_viable(x, d, hdim):
+    """Mirror _mlp_block_bwd_pallas's routing to predict whether its 2-D
+    accumulating grid would land on a VMEM-safe block; the per-element 3-D
+    path (small n, elems<=4) is always viable."""
+    if x.ndim == 3:
+        b, n, _ = x.shape
+        if n % 16 == 0:
+            m = b * n
+        elif (-(-n // 16) * 16) * b % 1024 == 0:
+            m = b * (-(-n // 16) * 16)
+        else:
+            return True
+    else:
+        m = x.shape[0]
+    blk = _pick_bwd_block(m, d, hdim, 18, 12 * d * hdim)
+    if blk is None:
+        blk = m  # single-block fallback — viable only if it fits the ceiling
+    return blk * hdim * 18 + 12 * d * hdim < 58 * 2 ** 20
+
+
 def _mlp_block_bwd_vjp(res, g):
     x, gamma, beta, w1, b1, w2, b2 = res
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         on_tpu = False
-    if on_tpu and _HAVE_PLTPU:
+    if on_tpu and _HAVE_PLTPU and _bwd_kernel_viable(
+            x, x.shape[-1], w1.shape[-1]):
         dx, dg, dbe, dw1, db1, dw2, db2 = _mlp_block_bwd_pallas(
             x, g, gamma, beta, w1, b1, w2)
         # keep XLA from fusing the f32 dW outputs into the caller's
@@ -664,9 +707,13 @@ def mlp_block(x, norm2, mlp, interpret: bool = False, grad_free: bool = False,
     args = (x, norm2["scale"], norm2["bias"], mlp["fc1"]["w"], mlp["fc1"]["b"],
             mlp["fc2"]["w"], mlp["fc2"]["b"])
     if not residual:
-        if interpret or grad_free:
-            # cheapest trace when no backward can reach this op
-            return _mlp_block_fwd(*args, interpret=interpret, residual=False)
+        if interpret:
+            return _mlp_block_fwd(*args, interpret=True, residual=False)
+        # grad_free is accepted but ignored: a raw pallas fwd (no
+        # custom_vjp) inside a grad program trips JAX's jvp bookkeeping
+        # (ad.py nonzeros assert — see attn_half_block's note), and the
+        # custom_vjp wrapper costs nothing when the caller stop-gradients
+        # the output.
         return _mlp_block_nores(*args)
     if interpret:
         return _mlp_block_fwd(*args, interpret=True)

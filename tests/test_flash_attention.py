@@ -406,3 +406,64 @@ def test_mlp_block_nores_vjp_matches(rng):
     for w, gt in zip(want, got):
         np.testing.assert_allclose(np.asarray(gt), np.asarray(w),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_bwd_block_picker_tiers():
+    """_pick_bwd_block: tier 1 honors the 48 MB perf budget; tier 2 (hidden
+    dims whose fixed weight+accumulator term busts the budget, e.g. the
+    ViT-L MLP at d=1024/hdim=4096 where 12*d*hdim ≈ 50 MB) degrades to a
+    smaller divisor under the Mosaic ceiling instead of failing to compile;
+    ragged row counts return None (padded rows would pollute the
+    accumulators)."""
+    from mirage_tpu.ops.fused_mlp import (_bwd_kernel_viable, _pick_bwd_block,
+                                          _stash_viable)
+
+    # ViT-B pretraining pad path: (256*112, 768) -> 256 (the measured pick)
+    assert _pick_bwd_block(28672, 768, 3072, 18, 12 * 768 * 3072) == 256
+    # seg ConvNeXt head: (131072, 384) -> 1024 (the measured pick)
+    assert _pick_bwd_block(131072, 384, 1536, 18, 12 * 384 * 1536) == 1024
+    # ViT-L MLP: fixed term ~50 MB > 48 MB budget -> tier-2 block, and the
+    # total estimate stays under the ceiling (the old fallback picked 512,
+    # whose ~88 MB request exceeds the 64 MB Mosaic limit)
+    blk = _pick_bwd_block(28672, 1024, 4096, 18, 12 * 1024 * 4096)
+    assert blk is not None and blk < 512
+    assert blk * 4096 * 18 + 12 * 1024 * 4096 < 58 * 2 ** 20
+    # ragged: no divisor in the candidate lists
+    assert _pick_bwd_block(99, 768, 3072, 18, 12 * 768 * 3072) is None
+
+    # viability wrappers: ViT-L-sized 2-D rows are viable post-fix; an
+    # absurd hidden dim is not (caller falls back to the XLA backward)
+    x = jnp.zeros((28672, 1024), jnp.bfloat16)
+    assert _bwd_kernel_viable(x, 1024, 4096)
+    x_huge = jnp.zeros((17, 2048), jnp.bfloat16)  # ragged + 16 MB weights
+    assert not _bwd_kernel_viable(x_huge, 2048, 8192)
+    assert _stash_viable(131072, 384, 1536)
+    assert not _stash_viable(131071, 384, 1536)  # ragged -> plain VJP
+
+
+def test_mlp_block_nores_grad_free_routes_through_custom_vjp(monkeypatch):
+    """grad_free=True on the no-residual form must keep the custom_vjp
+    wrapper: a raw pallas forward inside a grad program trips JAX's jvp
+    bookkeeping (ad.py nonzeros assert) when a differentiated value feeds
+    it — the seg parity-freeze topology (trainable input adapters, encoder-
+    output stop-grad) is exactly that shape. (The TPU-only kernels can't
+    execute on CPU, so this pins the dispatch, not the execution.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from mirage_tpu.nn.block import block_init
+    from mirage_tpu.ops import fused_mlp
+
+    calls = []
+    monkeypatch.setattr(fused_mlp, "_mlp_block_nores",
+                        lambda *a: calls.append("custom_vjp") or a[0])
+    monkeypatch.setattr(
+        fused_mlp, "_mlp_block_fwd",
+        lambda *a, **k: calls.append("raw") or a[0])
+
+    d = 48
+    p = block_init(jax.random.PRNGKey(0), d, qkv_bias=True)
+    x = jnp.zeros((2, 8, d), jnp.float32)
+    fused_mlp.mlp_block(x, p["norm2"], p["mlp"], grad_free=True,
+                        residual=False)
+    assert calls == ["custom_vjp"]
