@@ -47,7 +47,12 @@ class MIRAGEWrapper:
     ):
         """mesh: optional jax.sharding.Mesh for multi-chip serving — params
         shard per parallel.mesh.param_specs (Megatron-style encoder split over
-        'fsdp'x'tensor'), inputs shard over the 'data' axis. None = one chip."""
+        'fsdp'x'tensor'), inputs shard over the 'data' axis. None = one chip.
+
+        (There is deliberately no quantize= mode: int8 serving measured a
+        NEGATIVE on v5e through this toolchain — XLA int8 dots run at the
+        bf16 rate and Mosaic int8 dots at ~2 TOP/s; see ops/quant.py and
+        BASELINE.md. The bf16 path additionally keeps reference parity.)"""
         assert weights is not None
         ckpt = convert.load_torch_checkpoint(weights) if str(weights).endswith(".pth") \
             else {"model": convert.load_safetensors(str(weights)), "args": {}}
