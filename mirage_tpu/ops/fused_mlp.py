@@ -304,25 +304,39 @@ def _mlp_block_bwd_pallas(x, dy, gamma, beta, w1, b1, w2, interpret=False):
                                     gamma, beta, w1, b1, w2,
                                     interpret=interpret)
         return (out[0].reshape(b, n, d),) + out[1:]
-    if x.ndim == 3 and (-(-x.shape[1] // 16) * 16) * x.shape[0] % 1024 == 0:
-        # Unaligned token counts (pretraining's N=99): pad rows to a
-        # bitcast-flattenable multiple of 16 and take the row-blocked 2-D
-        # path. The MLP half is row-independent and the padded dy rows are
-        # ZERO, so they contribute exactly nothing to any gradient (dh =
-        # dact*dgelu with dact = 0; all dW/db contractions see zero
-        # cotangents; the padded dx rows are sliced away). Trades ~(pad/N)
-        # extra matmul rows for ~16x fewer sequential accumulate programs
-        # (the per-element f32 accumulator adds were ~1.5 ms/layer of VPU
-        # time at the pretraining shape).
+    if x.ndim == 3:
+        # Unaligned token counts (pretraining's N=99, cls FT's N=257): two
+        # 2-D routings, both one relayout copy in and one out:
+        #   - exact FLATTEN: reshape (B,N,D)->(B*N,D); no wasted rows, but
+        #     B*N may only admit a small block.
+        #   - PAD to a bitcast-flattenable multiple of 16 with ZERO
+        #     cotangent rows (exactly grad-neutral for the row-independent
+        #     MLP: dh = dact*dgelu with dact = 0; all dW/db contractions
+        #     see zero cotangents; padded dx rows are sliced away) — bigger
+        #     blocks at the cost of ~(pad/N) extra matmul rows.
+        # Route by fewest grid programs (the sequential accumulate programs
+        # were ~1.5 ms/layer of VPU at the pretraining shape); ties go to
+        # flatten (less matmul work). Measured: pretraining (256,99,768)
+        # flat 99 programs 5.10 ms vs pad 112 programs 5.31 ms/layer
+        # (scripts/bench_mlp_bwd_flatten.py); cls FT (64,257,768) pads to
+        # 68 programs vs 257 flat — pad wins there.
         b, n, _ = x.shape
         n_pad = -(-n // 16) * 16
-        xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
-        dyp = jnp.pad(dy, ((0, 0), (0, n_pad - n), (0, 0)))
-        out = _mlp_block_bwd_pallas(xp.reshape(b * n_pad, d),
-                                    dyp.reshape(b * n_pad, d),
-                                    gamma, beta, w1, b1, w2,
-                                    interpret=interpret)
-        return (out[0].reshape(b, n_pad, d)[:, :n],) + out[1:]
+        route = _route_unaligned_bwd(b, n, d, hdim)
+        if route == "flat":
+            out = _mlp_block_bwd_pallas(x.reshape(b * n, d),
+                                        dy.reshape(b * n, d),
+                                        gamma, beta, w1, b1, w2,
+                                        interpret=interpret)
+            return (out[0].reshape(b, n, d),) + out[1:]
+        if route == "pad":
+            xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+            dyp = jnp.pad(dy, ((0, 0), (0, n_pad - n), (0, 0)))
+            out = _mlp_block_bwd_pallas(xp.reshape(b * n_pad, d),
+                                        dyp.reshape(b * n_pad, d),
+                                        gamma, beta, w1, b1, w2,
+                                        interpret=interpret)
+            return (out[0].reshape(b, n_pad, d)[:, :n],) + out[1:]
     if x.ndim == 3:
         b, n, _ = x.shape
         elems = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
@@ -621,6 +635,22 @@ def _mlp_block_fwd_vjp(x, gamma, beta, w1, b1, w2, b2):
         (x, gamma, beta, w1, b1, w2, b2)
 
 
+def _route_unaligned_bwd(b, n, d, hdim):
+    """'flat' | 'pad' | None for an unaligned-(B, N, D) backward: fewest
+    sequential accumulate programs wins, ties to flatten (no wasted rows).
+    None = neither 2-D routing admits a block (per-element path runs)."""
+    n_pad = -(-n // 16) * 16
+    blk_flat = _pick_bwd_block(b * n, d, hdim, 18, 12 * d * hdim)
+    blk_pad = (_pick_bwd_block(b * n_pad, d, hdim, 18, 12 * d * hdim)
+               if (b * n_pad) % 1024 == 0 else None)
+    progs_flat = (b * n) // blk_flat if blk_flat else None
+    progs_pad = (b * n_pad) // blk_pad if blk_pad else None
+    if progs_flat is not None and (progs_pad is None
+                                   or progs_flat <= progs_pad):
+        return "flat"
+    return "pad" if progs_pad is not None else None
+
+
 def _bwd_kernel_viable(x, d, hdim):
     """Mirror _mlp_block_bwd_pallas's routing to predict whether its 2-D
     accumulating grid would land on a VMEM-safe block; the per-element 3-D
@@ -629,9 +659,10 @@ def _bwd_kernel_viable(x, d, hdim):
         b, n, _ = x.shape
         if n % 16 == 0:
             m = b * n
-        elif (-(-n // 16) * 16) * b % 1024 == 0:
-            m = b * (-(-n // 16) * 16)
         else:
+            # unaligned 3-D: the flatten/pad routings self-gate on the
+            # two-tier picker (ceiling-safe), and when neither is viable
+            # the per-element path runs — always compilable
             return True
     else:
         m = x.shape[0]

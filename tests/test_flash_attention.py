@@ -440,6 +440,14 @@ def test_bwd_block_picker_tiers():
     assert _stash_viable(131072, 384, 1536)
     assert not _stash_viable(131071, 384, 1536)  # ragged -> plain VJP
 
+    # unaligned-3-D routing: fewest accumulate programs wins (measured,
+    # scripts/bench_mlp_bwd_flatten.py): pretraining flattens exactly
+    # (99 programs vs 112 padded), cls FT pads (68 vs 257)
+    from mirage_tpu.ops.fused_mlp import _route_unaligned_bwd
+    assert _route_unaligned_bwd(256, 99, 768, 3072) == "flat"
+    assert _route_unaligned_bwd(64, 257, 768, 3072) == "pad"
+    assert _route_unaligned_bwd(256, 99, 1024, 4096) == "flat"  # ViT-L
+
 
 def test_mlp_block_nores_grad_free_routes_through_custom_vjp(monkeypatch):
     """grad_free=True on the no-residual form must keep the custom_vjp
