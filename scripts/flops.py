@@ -67,14 +67,14 @@ def report(tag, step_flops, corr, b_count, b_real, dt_ms=None):
     return per_img
 
 
-def pretrain(dt_ms=None):
+def pretrain(dt_ms=None, size="base", b_real=256):
     from __graft_entry__ import _build_mirage
     from mirage_tpu.train.optim import OptimizerConfig, create_optimizer
     from mirage_tpu.train.steps import (init_train_state, make_pretrain_loss,
                                         make_train_step)
 
     B = 8
-    model = _build_mirage("base", img=512, layermap=128,
+    model = _build_mirage(size, img=512, layermap=128,
                           compute_dtype=jnp.bfloat16)
     object.__setattr__(model, "remat", True)
     params = model.init_params(jax.random.PRNGKey(0))
@@ -93,9 +93,11 @@ def pretrain(dt_ms=None):
     state = init_train_state(params, opt)
     f = flops_of(lambda s, bt: step(s, bt, jax.random.PRNGKey(0), 1e-4, 1.0),
                  state, batch)
-    lf = block_layer_flops(768, 12, 99, B, train=True, remat=True)
-    return report("pretrain ViT-B (98/768 tok, remat, fwd+bwd+adamw)",
-                  f, (model.depth - 1) * lf, B, 256, dt_ms)
+    lf = block_layer_flops(model.dim_tokens, model.num_heads, 99, B,
+                           train=True, remat=True)
+    return report(f"pretrain ViT-{size[0].upper()} (98/768 tok, remat, "
+                  "fwd+bwd+adamw)", f, (model.depth - 1) * lf, B, b_real,
+                  dt_ms)
 
 
 def seg(dt_ms=None, parity=True):
@@ -239,6 +241,8 @@ if __name__ == "__main__":
         infer(dts.get("infer"))
     if which in ("all", "pretrain"):
         pretrain(dts.get("pretrain"))
+    if which == "pretrain_large":
+        pretrain(dts.get("pretrain_large"), size="large", b_real=128)
     if which in ("all", "seg"):
         seg(dts.get("seg"), parity=True)
         seg(dts.get("seg_fast"), parity=False)
