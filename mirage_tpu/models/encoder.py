@@ -96,7 +96,10 @@ def encoder_apply(
             # remat double-paid the attention-half forward (13 ms/step at
             # the pretrain config) for 39 MB/layer of bf16 savings we don't
             # need. On the non-fused path nothing carries the name and this
-            # degrades to plain per-layer remat.
+            # degrades to plain per-layer remat. (The MLP act/gelu' stash
+            # names exist too — fused_mlp names them so a remat policy CAN
+            # save them — but the encoder shapes measured net-negative for
+            # the stash route, so they are not listed here.)
             fn = jax.checkpoint(
                 lambda p_, c_, rate_, key_: block_apply(
                     p_, c_, num_heads, impl=impl, drop=drop, attn_drop=attn_drop,

@@ -82,6 +82,10 @@ def block_apply(p, x, num_heads, *, impl="auto", drop=0.0, attn_drop=0.0,
         # recompute in the bwd scan is dead and XLA DCEs it (13 ms/step of
         # the round-3 pretraining trace; 39 MB/layer bf16 to keep)
         x = checkpoint_name(x, "attn_half_out")
+        # NO stash=True here: the encoder's unaligned-3-D stash route
+        # measured net-negative on v5e (fused_mlp._stash_route note — the
+        # stash bwd kernel wins 0.94 ms/layer but the per-element stash
+        # writes cost 1.2); the recompute backward stays.
         return mlp_block(x, p["norm2"], p["mlp"], grad_free=grad_free)
     h = layer_norm(p["norm1"], x)
     h = attention_apply(p["attn"], h, num_heads, impl=impl, attn_drop=attn_drop,

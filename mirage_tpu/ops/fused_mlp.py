@@ -410,6 +410,8 @@ def _mlp_fwd_stash_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
                           b2_ref, o_ref, act_ref, dg_ref, *,
                           residual: bool = True):
     x = x_ref[...]
+    if x.ndim == 3:  # (1, N, D) batch-element block of a 3-D operand
+        x = x[0]
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.maximum(
@@ -424,17 +426,19 @@ def _mlp_fwd_stash_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
     h = h + b1_ref[...].astype(jnp.float32)
     e = _erf(h / _SQRT2)
     act = (0.5 * h * (1.0 + e)).astype(x.dtype)
-    act_ref[...] = act
+    act_ref[...] = act if act_ref.ndim == act.ndim else act[None]
     # gelu'(h) = 0.5(1+erf(h/sqrt2)) + h*phi(h); computed here (one extra exp
     # pass) so the backward runs transcendental-free
-    dg_ref[...] = (0.5 * (1.0 + e)
-                   + h * jnp.exp2(-0.5 * _LOG2E * h * h) * _INV_SQRT_2PI
-                   ).astype(dg_ref.dtype)
+    dg = (0.5 * (1.0 + e)
+          + h * jnp.exp2(-0.5 * _LOG2E * h * h) * _INV_SQRT_2PI
+          ).astype(dg_ref.dtype)
+    dg_ref[...] = dg if dg_ref.ndim == dg.ndim else dg[None]
     o = jax.lax.dot_general(act, w2_ref[...].astype(x.dtype),
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     o = o + b2_ref[...].astype(jnp.float32)
-    o_ref[...] = x + o.astype(x.dtype) if residual else o.astype(x.dtype)
+    out = x + o.astype(x.dtype) if residual else o.astype(x.dtype)
+    o_ref[...] = out if o_ref.ndim == out.ndim else out[None]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "residual"))
@@ -475,6 +479,59 @@ def _mlp_block_fwd_stash(x, gamma, beta, w1, b1, w2, b2, interpret=False,
         out_specs=[pl.BlockSpec((blk, d), lambda i: (i, 0)),
                    pl.BlockSpec((blk, hdim), lambda i: (i, 0)),
                    pl.BlockSpec((blk, hdim), lambda i: (i, 0))],
+        interpret=interpret,
+        **kwargs,
+    )(x, *flat)
+    return out, act, dg
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "residual",
+                                             "stash_flat"))
+def _mlp_block_fwd_stash3d(x, gamma, beta, w1, b1, w2, b2, interpret=False,
+                           residual=True, stash_flat=False):
+    """Stash forward for UNALIGNED 3-D (B, N, D) operands (pretraining's
+    N=99). QUARANTINED negative result — _stash_route refuses 3-D shapes
+    (net loss on v5e, see its note); kept with test coverage as evidence.
+    Per-batch-element grid like _mlp_block_fwd's 3-D path (keeping
+    the operand 3-D avoids the measured HBM round-trip of a pre-kernel
+    flatten), while the act/gelu' stashes are written either
+
+      - stash_flat=False: as (B, N, H) arrays (always compiles; the 2-D
+        stash backward then pays one relayout copy per stash), or
+      - stash_flat=True: directly into (B*N, H) arrays via an (N, H) block
+        with row offset i*N — rows land exactly where the backward's
+        flattened grid reads them, no relayout. Interpret-mode only:
+        Mosaic REJECTS the misaligned block rows on real TPU ("last two
+        dimensions of your block shape [must be] divisible by 8 and 128").
+
+    Out is bit-identical to _mlp_block_fwd (same kernel math)."""
+    b, n, d = x.shape
+    hdim = w1.shape[-1]
+    kern = functools.partial(_mlp_fwd_stash_kernel, residual=residual)
+    kwargs = {}
+    if _HAVE_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024)
+    w_specs = [pl.BlockSpec(shape, lambda i: (0, 0))
+               for shape in ((1, d), (1, d), (d, hdim), (1, hdim),
+                             (hdim, d), (1, d))]
+    flat = (gamma.reshape(1, d), beta.reshape(1, d), w1, b1.reshape(1, hdim),
+            w2, b2.reshape(1, d))
+    if stash_flat:
+        stash_shape = jax.ShapeDtypeStruct((b * n, hdim), x.dtype)
+        stash_spec = pl.BlockSpec((n, hdim), lambda i: (i, 0))
+    else:
+        stash_shape = jax.ShapeDtypeStruct((b, n, hdim), x.dtype)
+        stash_spec = pl.BlockSpec((1, n, hdim), lambda i: (i, 0, 0))
+    out, act, dg = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((b, n, d), x.dtype),
+                   stash_shape, stash_shape],
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n, d), lambda i: (i, 0, 0))] + w_specs,
+        out_specs=[pl.BlockSpec((1, n, d), lambda i: (i, 0, 0)),
+                   stash_spec, stash_spec],
         interpret=interpret,
         **kwargs,
     )(x, *flat)
@@ -583,18 +640,54 @@ def _stash_viable(m, d, hdim):
     return _pick_bwd_block(m, d, hdim, 14, 12 * d * hdim) is not None
 
 
+def _stash_route(x, d, hdim):
+    """Which stash forward to run (None = don't stash, use the recompute
+    backward). Today only 2-D rows at d >= 384 engage (the seg ConvNeXt
+    head's measured win; the dim-256 decoder MLPs measured flat-to-negative
+    via an aligned-3-D reshape, see the section note).
+
+    Measured NEGATIVE (don't redo, v5e round 3, scripts/bench_mlp_bwd_stash
+    .py at the pretraining (256,99,768)x3072 shape): the UNALIGNED-3-D stash
+    route under the encoder's selective remat. The remat mechanics DO work —
+    checkpoint_name'd residuals inside a custom_vjp fwd register with
+    save_only_these_names, so the stashes are saved and the bwd-scan
+    recompute is DCE'd — and the stash backward kernel is 0.94 ms/layer
+    faster (4.15 vs 5.09 recompute). But the per-element stash3d forward
+    pays +1.2 ms/layer (2.80 -> 4.01) writing the two (99, H) stashes: the
+    unaligned rows break the seg head's free grid-pipelined DMA (~3x the
+    819 GB/s floor), Pallas rejects direct-to-flat (N,H) output blocks
+    (99 % 8 != 0), and an out-of-jit (B,99,H)->(B*99,H) relayout is 45.7 ms.
+    End-to-end: 6.85 vs 6.68 ms/layer — net LOSS. _mlp_block_fwd_stash3d
+    stays as tested evidence (test_mlp_block_stash3d_matches_xla)."""
+    if d < 384 or x.ndim != 2:
+        return None
+    return "2d" if _stash_viable(x.shape[0], d, hdim) else None
+
+
 @jax.custom_vjp
 def _mlp_block_stash(x, gamma, beta, w1, b1, w2, b2):
     return _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2)
 
 
 def _mlp_block_stash_fwd_vjp(x, gamma, beta, w1, b1, w2, b2):
-    if (jax.default_backend() == "tpu" and _HAVE_PLTPU
-            and _stash_viable(x.shape[0], x.shape[-1], w1.shape[-1])):
-        out, act, dg = _mlp_block_fwd_stash(x, gamma, beta, w1, b1, w2, b2)
-        return out, (x, gamma, beta, w1, b1, w2, b2, act, dg)
-    return _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2), \
-        (x, gamma, beta, w1, b1, w2, b2, None, None)
+    from jax.ad_checkpoint import checkpoint_name
+
+    route = (_stash_route(x, x.shape[-1], w1.shape[-1])
+             if jax.default_backend() == "tpu" and _HAVE_PLTPU else None)
+    if route != "2d":
+        return _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2), \
+            (x, gamma, beta, w1, b1, w2, b2, None, None)
+    out, act, dg = _mlp_block_fwd_stash(x, gamma, beta, w1, b1, w2, b2)
+    # named so a selective-remat policy CAN save the stashes: names inside
+    # a custom_vjp fwd register with save_only_these_names (verified; with
+    # x + act + gelu' saved, the MLP-half forward recompute in a remat bwd
+    # is dead and XLA DCEs it). No remat caller engages today — the
+    # encoder's unaligned-3-D shapes measured net-negative (_stash_route
+    # note) — but the mechanism is load-bearing for any future 2-D-rows
+    # caller under remat.
+    act = checkpoint_name(act, "mlp_act_stash")
+    dg = checkpoint_name(dg, "mlp_dgelu_stash")
+    return out, (x, gamma, beta, w1, b1, w2, b2, act, dg)
 
 
 def _mlp_block_stash_bwd_vjp(res, g):
@@ -730,11 +823,14 @@ def mlp_block(x, norm2, mlp, interpret: bool = False, grad_free: bool = False,
     differentiable: the no-residual backward is the residual backward minus
     the skip's pass-through cotangent (dx_nores = dx_res - g, exact).
 
-    stash=True (2-D x, residual form only) uses the stash-variant custom
-    VJP: the forward writes the post-GELU activation + GELU derivative to
-    HBM so the backward runs 4 matmuls with no fc1 recompute and no
-    transcendentals. Opt-in — see the stash section's economics note (wins
-    at d ≳ 350 outside remat; the ConvNeXt seg head's case)."""
+    stash=True (residual form only) uses the stash-variant custom VJP: the
+    forward writes the post-GELU activation + GELU derivative to HBM so the
+    backward runs 4 matmuls with no fc1 recompute and no transcendentals.
+    _stash_route gates which shapes engage (2-D rows at d >= 384 — the seg
+    ConvNeXt head; the encoder's unaligned-3-D shapes measured net-negative,
+    see its note) — other shapes silently take the recompute backward.
+    Inference never runs the stash forward (the custom_vjp primal is the
+    plain fused forward)."""
     args = (x, norm2["scale"], norm2["bias"], mlp["fc1"]["w"], mlp["fc1"]["b"],
             mlp["fc2"]["w"], mlp["fc2"]["b"])
     if not residual:
@@ -749,6 +845,6 @@ def mlp_block(x, norm2, mlp, interpret: bool = False, grad_free: bool = False,
     if interpret:
         return _mlp_block_fwd(*args, interpret=True)
     del grad_free  # accepted but ignored — see attn_half_block
-    if stash and x.ndim == 2:
+    if stash:
         return _mlp_block_stash(*args)
     return _mlp_block(*args)

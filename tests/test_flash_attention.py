@@ -278,6 +278,85 @@ def test_mlp_block_stash_kernels_match_xla(rng):
             atol=5e-4, rtol=1e-3, err_msg=name)
 
 
+def test_mlp_block_stash3d_matches_xla(rng):
+    """Unaligned-3-D stash forward (QUARANTINED negative result — the route
+    measured net-negative at the pretraining shape and _stash_route refuses
+    it; kept as evidence, see fused_mlp._stash_route): the per-element
+    stash3d forward's primal matches the plain 3-D kernel bit-for-bit, the
+    stashes match their 2-D values, and flattening stashes + cotangents
+    through the stash backward matches jax.vjp (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mirage_tpu.ops.fused_mlp import (
+        _mlp_block_bwd_stash, _mlp_block_fwd, _mlp_block_fwd_stash,
+        _mlp_block_fwd_stash3d, _mlp_block_xla)
+
+    b, n, d = 4, 11, 48  # n % 16 != 0: the unaligned class
+    hdim = 4 * d
+    x = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+    gamma = jnp.asarray(1.0 + 0.1 * rng.standard_normal(d).astype(np.float32))
+    beta = jnp.asarray(0.1 * rng.standard_normal(d).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((d, hdim)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(0.1 * rng.standard_normal(hdim).astype(np.float32))
+    w2 = jnp.asarray(rng.standard_normal((hdim, d)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(0.1 * rng.standard_normal(d).astype(np.float32))
+
+    out_plain = _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, interpret=True)
+    out, act, dg3 = _mlp_block_fwd_stash3d(x, gamma, beta, w1, b1, w2, b2,
+                                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_plain))
+    assert act.shape == (b, n, hdim) and dg3.shape == (b, n, hdim)
+    # stash values match the 2-D stash forward on the flattened rows
+    _, act2, dg2 = _mlp_block_fwd_stash(x.reshape(b * n, d), gamma, beta,
+                                        w1, b1, w2, b2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(act).reshape(b * n, hdim),
+                                  np.asarray(act2))
+    np.testing.assert_array_equal(np.asarray(dg3).reshape(b * n, hdim),
+                                  np.asarray(dg2))
+    # flat-out stash layout writes the same rows with no reshape
+    out_f, act_f, dg_f = _mlp_block_fwd_stash3d(
+        x, gamma, beta, w1, b1, w2, b2, interpret=True, stash_flat=True)
+    np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_plain))
+    np.testing.assert_array_equal(np.asarray(act_f), np.asarray(act2))
+
+    _, vjp = jax.vjp(_mlp_block_xla, x, gamma, beta, w1, b1, w2, b2)
+    want = vjp(g)
+    got = _mlp_block_bwd_stash(
+        x.reshape(b * n, d), g.reshape(b * n, d),
+        act.reshape(b * n, hdim), dg3.reshape(b * n, hdim),
+        gamma, beta, w1, w2, interpret=True)
+    names = ["dx", "dgamma", "dbeta", "dw1", "db1", "dw2", "db2"]
+    for name, gg, ww in zip(names, got, want):
+        np.testing.assert_allclose(
+            np.asarray(gg).reshape(np.asarray(ww).shape), np.asarray(ww),
+            atol=5e-4, rtol=1e-3, err_msg=name)
+
+
+def test_stash_route_decisions():
+    """_stash_route must engage exactly the measured-win shapes: 2-D rows
+    at d >= 384 (the seg ConvNeXt head) — and refuse every 3-D shape (the
+    encoder's unaligned-3-D stash measured net-negative on v5e,
+    scripts/bench_mlp_bwd_stash.py) and the d-256 decoder dims."""
+    import jax.numpy as jnp
+
+    from mirage_tpu.ops.fused_mlp import _stash_route
+
+    x2d = jnp.zeros((131072, 384), jnp.bfloat16)
+    assert _stash_route(x2d, 384, 1536) == "2d"       # seg ConvNeXt head
+    xr = jnp.zeros((131071, 384), jnp.bfloat16)
+    assert _stash_route(xr, 384, 1536) is None        # ragged rows
+    xd2 = jnp.zeros((65536, 256), jnp.bfloat16)
+    assert _stash_route(xd2, 256, 1024) is None       # d < 384
+    xp = jnp.zeros((256, 99, 768), jnp.bfloat16)
+    assert _stash_route(xp, 768, 3072) is None        # pretraining: negative
+    xc = jnp.zeros((64, 257, 768), jnp.bfloat16)
+    assert _stash_route(xc, 768, 3072) is None        # cls-FT
+    xd = jnp.zeros((256, 256, 256), jnp.bfloat16)
+    assert _stash_route(xd, 256, 1024) is None        # dim-256 decoder
+
+
 def test_attn_half_backward_kernel_matches_xla(rng):
     """Pallas attention-half backward (interpret mode): dx + all parameter
     grads vs jax.vjp through the XLA half-block."""
