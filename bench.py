@@ -8,8 +8,9 @@ batch 512 (round-3 sweeps: pre-exp2 kernels 64->857, 96->868, 128->876,
 192->881, 256->884.5, 320->884.6 — the round-2b absent-modality skip +
 half-block fusion moved the optimum up from batch 64; with the
 exp2-softmax/one-pass-LN kernels 64->871, 256->894.1, 320->894.1,
-384->896.1, 512->898.7 — still rising gently, 512 keeps step latency
-under 600 ms; round-1 XLA-path optimum was batch 48 at 485).
+384->896.1, 512->898.7, 768->900.6, 1024->900.1 — the curve is flat past
+512 (+0.2% at 768 is within the ±1% drift band) and 512 keeps step
+latency under 600 ms; round-1 XLA-path optimum was batch 48 at 485).
 
 Timing: dispatches are chained through a scalar accumulator and synced once
 at the end — block_until_ready is a no-op on the tunneled axon platform and

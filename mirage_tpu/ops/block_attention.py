@@ -443,7 +443,7 @@ def _attn_half_bwd_kernel(x_ref, dy_ref, g_ref, be_ref, wqkv_ref, bqkv_ref,
                           wp_ref, dx_ref, dg_ref, dbe_ref, dwqkv_ref,
                           dbqkv_ref, dwp_ref, dbp_ref, attn_scratch,
                           s_scratch, dp_scratch, *, num_heads, dim, scale,
-                          elems):
+                          elems, reg_batch: bool = False):
     @pl.when(pl.program_id(0) == 0)
     def _init():
         dg_ref[...] = jnp.zeros_like(dg_ref)
@@ -453,28 +453,45 @@ def _attn_half_bwd_kernel(x_ref, dy_ref, g_ref, be_ref, wqkv_ref, bqkv_ref,
         dwp_ref[...] = jnp.zeros_like(dwp_ref)
         dbp_ref[...] = jnp.zeros_like(dbp_ref)
 
+    # reg_batch: sum the elems' parameter grads in REGISTERS and update the
+    # VMEM accumulators ONCE per program — the per-element "+=" chain
+    # serialized elems x 6 read-modify-writes (the dwqkv accumulator alone
+    # is 7 MB f32 at d=768) against the element backwards
+    acc = None
     for ei in range(elems):
-        dx, dg, dbe, dwqkv, dbqkv, dwp, dbp = _attn_half_bwd_rows(
+        dx, *grads = _attn_half_bwd_rows(
             x_ref[ei], dy_ref[ei], g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
             s_scratch, dp_scratch, attn_scratch, num_heads=num_heads, dim=dim,
             scale=scale)
         dx_ref[ei] = dx.astype(dx_ref.dtype)
-        dg_ref[...] += dg
-        dbe_ref[...] += dbe
-        dwqkv_ref[...] += dwqkv
-        dbqkv_ref[...] += dbqkv
-        dwp_ref[...] += dwp
-        dbp_ref[...] += dbp
+        if reg_batch:
+            acc = grads if acc is None else [a + g for a, g in zip(acc, grads)]
+        else:
+            dg_ref[...] += grads[0]
+            dbe_ref[...] += grads[1]
+            dwqkv_ref[...] += grads[2]
+            dbqkv_ref[...] += grads[3]
+            dwp_ref[...] += grads[4]
+            dbp_ref[...] += grads[5]
+    if reg_batch:
+        dg_ref[...] += acc[0]
+        dbe_ref[...] += acc[1]
+        dwqkv_ref[...] += acc[2]
+        dbqkv_ref[...] += acc[3]
+        dwp_ref[...] += acc[4]
+        dbp_ref[...] += acc[5]
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret",
+                                             "reg_batch"))
 def _attn_half_bwd_pallas(x, dy, gamma, beta, wqkv, bqkv, wproj,
                           num_heads: int, scale: float,
-                          interpret: bool = False):
+                          interpret: bool = False, reg_batch: bool = False):
     b, n, d = x.shape
     elems = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
     kernel = functools.partial(_attn_half_bwd_kernel, num_heads=num_heads,
-                               dim=d, scale=scale, elems=elems)
+                               dim=d, scale=scale, elems=elems,
+                               reg_batch=reg_batch)
     kwargs = {}
     if _HAVE_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(

@@ -379,13 +379,18 @@ def test_attn_half_backward_kernel_matches_xla(rng):
         _, vjp = jax.vjp(lambda *a: _attn_half_xla(*a, h, scale),
                          x, gamma, beta, wqkv, bqkv, wp, bp)
         want = vjp(g)
-        got = _attn_half_bwd_pallas(x, g, gamma, beta, wqkv, bqkv, wp,
-                                    h, scale, interpret=True)
         names = ["dx", "dgamma", "dbeta", "dwqkv", "dbqkv", "dwproj", "dbproj"]
-        for name, gg, ww in zip(names, got, want):
-            np.testing.assert_allclose(
-                np.asarray(gg).reshape(np.asarray(ww).shape), np.asarray(ww),
-                atol=5e-4, rtol=1e-3, err_msg=f"{name} @ b={b} n={n}")
+        # both accumulate strategies (register-batched elems sum vs
+        # per-element VMEM "+=") must match the XLA vjp
+        for reg_batch in (True, False):
+            got = _attn_half_bwd_pallas(x, g, gamma, beta, wqkv, bqkv, wp,
+                                        h, scale, interpret=True,
+                                        reg_batch=reg_batch)
+            for name, gg, ww in zip(names, got, want):
+                np.testing.assert_allclose(
+                    np.asarray(gg).reshape(np.asarray(ww).shape),
+                    np.asarray(ww), atol=5e-4, rtol=1e-3,
+                    err_msg=f"{name} @ b={b} n={n} reg_batch={reg_batch}")
 
 
 def test_fused_kernel_gates_reject_unaligned_head_dim():
