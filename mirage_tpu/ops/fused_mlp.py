@@ -378,6 +378,111 @@ def _mlp_block_bwd_pallas(x, dy, gamma, beta, w1, b1, w2, interpret=False):
 
 
 # ---------------------------------------------------------------------------
+# De-fused backward: the kernel computes ONLY dx (+ the dh/y/act
+# intermediates and per-program dgamma/dbeta partial sums) on a PARALLEL
+# grid, and the dW matmuls run in XLA as single (m)-deep contractions:
+#   dW1 = y^T dh   dW2 = act^T dy   db1 = sum(dh)   db2 = sum(dy)
+# Rationale (the round-3 floor statement's "de-fuse dW reductions"): the
+# accumulating backward's sequential grid serializes 99+ programs of
+# accumulator read-modify-writes, while XLA runs a 25k-row dW contraction
+# at ~90% MFU; the extra HBM round-trip of dh/y/act rides the parallel
+# grid's pipelined DMA.
+# ---------------------------------------------------------------------------
+
+
+def _mlp_bwd_dx_kernel(x_ref, dy_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
+                       dx_ref, dh_ref, y_ref, act_ref, dgp_ref, dbp_ref):
+    x = x_ref[...]
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + 1e-6)
+    yhat = (x32 - mean) * inv
+    g32 = g_ref[...].astype(jnp.float32)
+    y = (yhat * g32 + be_ref[...].astype(jnp.float32)).astype(x.dtype)
+    y_ref[...] = y
+    w1c = w1_ref[...]
+    w2c = w2_ref[...]
+    h = jax.lax.dot_general(y, w1c, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = h + b1_ref[...].astype(jnp.float32)
+    e = _erf(h / _SQRT2)
+    act_ref[...] = (0.5 * h * (1.0 + e)).astype(act_ref.dtype)
+    dy = dy_ref[...]
+    dact = jax.lax.dot_general(dy, w2c, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dgelu = (0.5 * (1.0 + e)
+             + h * jnp.exp2(-0.5 * _LOG2E * h * h) * _INV_SQRT_2PI)
+    dh = dact * dgelu
+    dh_c = dh.astype(x.dtype)
+    dh_ref[...] = dh_c
+    dyln = jax.lax.dot_general(dh_c, w1c, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dgp_ref[...] = jnp.sum(dyln * yhat, axis=0, keepdims=True)
+    dbp_ref[...] = jnp.sum(dyln, axis=0, keepdims=True)
+    dyhat = dyln * g32
+    m1 = jnp.mean(dyhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyhat * yhat, axis=-1, keepdims=True)
+    dx = dy.astype(jnp.float32) + inv * (dyhat - m1 - yhat * m2)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mlp_block_bwd_defused(x, dy, gamma, beta, w1, b1, w2, interpret=False):
+    """De-fused backward (2-D rows). Returns the same tuple as
+    _mlp_block_bwd_pallas; dW/db come from XLA contractions over the
+    kernel-materialized intermediates."""
+    m, d = x.shape
+    hdim = w1.shape[-1]
+    kwargs = {}
+    if _HAVE_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",),  # no accumulators -> parallel
+            vmem_limit_bytes=64 * 1024 * 1024)
+    w_specs = [pl.BlockSpec(shape, lambda i: (0, 0))
+               for shape in ((1, d), (1, d), (d, hdim), (1, hdim), (hdim, d))]
+    flat = (gamma.reshape(1, d), beta.reshape(1, d), w1.astype(x.dtype),
+            b1.reshape(1, hdim), w2.astype(x.dtype))
+    # ~3 f32 hidden passes + bf16 dh/act outputs live; weights are bf16 only
+    blk = _pick_bwd_block(m, d, hdim, 16, 4 * d * hdim)
+    if blk is None:
+        blk = m
+    grid = m // blk
+    dx, dh, y, act, dgp, dbp = pl.pallas_call(
+        _mlp_bwd_dx_kernel,
+        out_shape=[jax.ShapeDtypeStruct((m, d), x.dtype),
+                   jax.ShapeDtypeStruct((m, hdim), x.dtype),
+                   jax.ShapeDtypeStruct((m, d), x.dtype),
+                   jax.ShapeDtypeStruct((m, hdim), x.dtype),
+                   jax.ShapeDtypeStruct((grid, d), jnp.float32),
+                   jax.ShapeDtypeStruct((grid, d), jnp.float32)],
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((blk, d), lambda i: (i, 0)),
+                  pl.BlockSpec((blk, d), lambda i: (i, 0))] + w_specs,
+        out_specs=[pl.BlockSpec((blk, d), lambda i: (i, 0)),
+                   pl.BlockSpec((blk, hdim), lambda i: (i, 0)),
+                   pl.BlockSpec((blk, d), lambda i: (i, 0)),
+                   pl.BlockSpec((blk, hdim), lambda i: (i, 0)),
+                   pl.BlockSpec((1, d), lambda i: (i, 0)),
+                   pl.BlockSpec((1, d), lambda i: (i, 0))],
+        interpret=interpret,
+        **kwargs,
+    )(x, dy, *flat)
+    dw1 = jax.lax.dot_general(y, dh, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dw2 = jax.lax.dot_general(act, dy.astype(act.dtype),
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dh.astype(jnp.float32), axis=0, keepdims=True)
+    db2 = jnp.sum(dy.astype(jnp.float32), axis=0, keepdims=True)
+    dgamma = jnp.sum(dgp, axis=0, keepdims=True)
+    dbeta = jnp.sum(dbp, axis=0, keepdims=True)
+    return dx, dgamma, dbeta, dw1, db1, dw2, db2
+
+
+# ---------------------------------------------------------------------------
 # Stash variant: forward emits the post-GELU activation and the GELU
 # derivative so the backward needs NO fc1 recompute and NO transcendentals.
 #

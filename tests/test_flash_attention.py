@@ -334,6 +334,37 @@ def test_mlp_block_stash3d_matches_xla(rng):
             atol=5e-4, rtol=1e-3, err_msg=name)
 
 
+def test_mlp_block_bwd_defused_matches_xla(rng):
+    """De-fused backward (parallel dx kernel + XLA dW contractions,
+    interpret mode) vs jax.vjp through the XLA half-block."""
+    import jax
+    import jax.numpy as jnp
+
+    from mirage_tpu.ops.fused_mlp import (_mlp_block_bwd_defused,
+                                          _mlp_block_xla)
+
+    m, d = 96, 48
+    hdim = 4 * d
+    x = jnp.asarray(rng.standard_normal((m, d)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((m, d)).astype(np.float32))
+    gamma = jnp.asarray(1.0 + 0.1 * rng.standard_normal(d).astype(np.float32))
+    beta = jnp.asarray(0.1 * rng.standard_normal(d).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((d, hdim)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(0.1 * rng.standard_normal(hdim).astype(np.float32))
+    w2 = jnp.asarray(rng.standard_normal((hdim, d)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(0.1 * rng.standard_normal(d).astype(np.float32))
+
+    _, vjp = jax.vjp(_mlp_block_xla, x, gamma, beta, w1, b1, w2, b2)
+    want = vjp(g)
+    got = _mlp_block_bwd_defused(x, g, gamma, beta, w1, b1, w2,
+                                 interpret=True)
+    names = ["dx", "dgamma", "dbeta", "dw1", "db1", "dw2", "db2"]
+    for name, gg, ww in zip(names, got, want):
+        np.testing.assert_allclose(
+            np.asarray(gg).reshape(np.asarray(ww).shape), np.asarray(ww),
+            atol=5e-4, rtol=1e-3, err_msg=name)
+
+
 def test_stash_route_decisions():
     """_stash_route must engage exactly the measured-win shapes: 2-D rows
     at d >= 384 (the seg ConvNeXt head) — and refuse every 3-D shape (the
