@@ -350,9 +350,13 @@ def _attn_half_fwd(x, gamma, beta, wqkv, bqkv, wproj, bproj, num_heads: int,
 
 def _attn_half_bwd_rows(x, dy, g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
                         s_scratch, dp_scratch, attn_scratch, *, num_heads,
-                        dim, scale):
+                        dim, scale, defused: bool = False):
     """Backward math for one (N, D) element. Returns
-    (dx, dgamma, dbeta, dwqkv, dbqkv, dwproj, dbproj); param grads f32."""
+    (dx, dgamma, dbeta, dwqkv, dbqkv, dwproj, dbproj); param grads f32.
+    defused=True skips the in-kernel dW/db matmuls and instead returns
+    (dx, dgamma, dbeta, y, dqkv_cotangent, attn_out) so the caller can
+    materialize the intermediates and leave the weight-grad contractions
+    to XLA (see _attn_half_bwd_defused)."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.maximum(
@@ -389,9 +393,10 @@ def _attn_half_bwd_rows(x, dy, g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
     attn_out = attn_scratch[...]
     # projection backward
     dy32 = dy.astype(jnp.float32)
-    dbproj = jnp.sum(dy32, axis=0, keepdims=True)
-    dwproj = jax.lax.dot_general(attn_out, dy, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+    if not defused:
+        dbproj = jnp.sum(dy32, axis=0, keepdims=True)
+        dwproj = jax.lax.dot_general(attn_out, dy, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
     dattn = jax.lax.dot_general(dy, wp_c, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32).astype(x.dtype)
     # attention backward, phase-batched like the forward: all dP matmuls,
@@ -424,10 +429,11 @@ def _attn_half_bwd_rows(x, dy, g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
     dqkv = jnp.concatenate(
         [c[0] for c in dqkv_cols] + [c[1] for c in dqkv_cols]
         + [c[2] for c in dqkv_cols], axis=-1)
-    dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
     dqkv_c = dqkv.astype(x.dtype)
-    dwqkv = jax.lax.dot_general(y, dqkv_c, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+    if not defused:
+        dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
+        dwqkv = jax.lax.dot_general(y, dqkv_c, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
     dyln = jax.lax.dot_general(dqkv_c, wqkv_c, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     dgamma = jnp.sum(dyln * yhat, axis=0, keepdims=True)
@@ -436,6 +442,8 @@ def _attn_half_bwd_rows(x, dy, g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
     m1 = jnp.mean(dyhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dyhat * yhat, axis=-1, keepdims=True)
     dx = dy32 + inv * (dyhat - m1 - yhat * m2)
+    if defused:
+        return dx, dgamma, dbeta, y, dqkv_c, attn_out
     return dx, dgamma, dbeta, dwqkv, dbqkv, dwproj, dbproj
 
 
@@ -529,6 +537,93 @@ def _attn_half_bwd_pallas(x, dy, gamma, beta, wqkv, bqkv, wproj,
     )(x, dy, gamma.reshape(1, d), beta.reshape(1, d),
       wqkv.astype(x.dtype), bqkv.reshape(1, 3 * d), wproj.astype(x.dtype))
     return (dx, *grads)
+
+
+def _attn_half_bwd_dx_kernel(x_ref, dy_ref, g_ref, be_ref, wqkv_ref,
+                             bqkv_ref, wp_ref, dx_ref, y_ref, dqkv_ref,
+                             attn_ref, dgp_ref, dbp_ref, attn_scratch,
+                             s_scratch, dp_scratch, *, num_heads, dim, scale,
+                             elems):
+    dg_acc = dbe_acc = None
+    for ei in range(elems):
+        dx, dg, dbe, y, dqkv_c, attn_out = _attn_half_bwd_rows(
+            x_ref[ei], dy_ref[ei], g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
+            s_scratch, dp_scratch, attn_scratch, num_heads=num_heads, dim=dim,
+            scale=scale, defused=True)
+        dx_ref[ei] = dx.astype(dx_ref.dtype)
+        y_ref[ei] = y
+        dqkv_ref[ei] = dqkv_c
+        attn_ref[ei] = attn_out
+        dg_acc = dg if dg_acc is None else dg_acc + dg
+        dbe_acc = dbe if dbe_acc is None else dbe_acc + dbe
+    dgp_ref[...] = dg_acc
+    dbp_ref[...] = dbe_acc
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
+def _attn_half_bwd_defused(x, dy, gamma, beta, wqkv, bqkv, wproj,
+                           num_heads: int, scale: float,
+                           interpret: bool = False):
+    """De-fused attention-half backward: the kernel computes dx on a
+    PARALLEL grid (no accumulators, no sequential semantics) and
+    materializes the LN output y, the qkv cotangent, and the pre-proj
+    attention output; the weight-grad contractions run in XLA over the full
+    (B, N) row set:
+      dWqkv = y^T dqkv   dWproj = attn^T dy   (multi-dim contractions —
+      XLA collapses (B, N) itself, no user-visible relayout of the
+      unaligned token axis)
+    Same de-fusion rationale as fused_mlp._mlp_block_bwd_defused."""
+    b, n, d = x.shape
+    elems = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
+    grid = b // elems
+    kernel = functools.partial(_attn_half_bwd_dx_kernel, num_heads=num_heads,
+                               dim=d, scale=scale, elems=elems)
+    kwargs = {}
+    if _HAVE_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024)
+    wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))  # noqa: E731
+    dx, y, dqkv, attn, dgp, dbp = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((b, n, d), x.dtype),
+                   jax.ShapeDtypeStruct((b, n, d), x.dtype),
+                   jax.ShapeDtypeStruct((b, n, 3 * d), x.dtype),
+                   jax.ShapeDtypeStruct((b, n, d), x.dtype),
+                   jax.ShapeDtypeStruct((grid, d), jnp.float32),
+                   jax.ShapeDtypeStruct((grid, d), jnp.float32)],
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((elems, n, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((elems, n, d), lambda i: (i, 0, 0)),
+            wspec((1, d)), wspec((1, d)),
+            wspec((d, 3 * d)), wspec((1, 3 * d)),
+            wspec((d, d)),
+        ],
+        out_specs=[pl.BlockSpec((elems, n, d), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((elems, n, d), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((elems, n, 3 * d), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((elems, n, d), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((1, d), lambda i: (i, 0)),
+                   pl.BlockSpec((1, d), lambda i: (i, 0))],
+        scratch_shapes=[pltpu.VMEM((n, d), x.dtype),
+                        pltpu.VMEM((num_heads, n, n), jnp.float32),
+                        pltpu.VMEM((num_heads, n, n), jnp.float32)]
+        if _HAVE_PLTPU else [],
+        interpret=interpret,
+        **kwargs,
+    )(x, dy, gamma.reshape(1, d), beta.reshape(1, d),
+      wqkv.astype(x.dtype), bqkv.reshape(1, 3 * d), wproj.astype(x.dtype))
+    contract = (((0, 1), (0, 1)), ((), ()))
+    dwqkv = jax.lax.dot_general(y, dqkv, contract,
+                                preferred_element_type=jnp.float32)
+    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1)).reshape(1, 3 * d)
+    dwp = jax.lax.dot_general(attn, dy.astype(attn.dtype), contract,
+                              preferred_element_type=jnp.float32)
+    dbp_out = jnp.sum(dy.astype(jnp.float32), axis=(0, 1)).reshape(1, d)
+    dgamma = jnp.sum(dgp, axis=0, keepdims=True)
+    dbeta = jnp.sum(dbp, axis=0, keepdims=True)
+    return dx, dgamma, dbeta, dwqkv, dbqkv, dwp, dbp_out
 
 
 def _attn_half_xla(x, gamma, beta, wqkv, bqkv, wproj, bproj, num_heads, scale):

@@ -1,10 +1,11 @@
-"""A/B: register-batched vs per-element VMEM accumulator updates in the
-attn-half backward at the pretraining shape (256, 99, 768, 12 heads).
+"""3-way A/B on the attn-half backward at the pretraining shape
+(256, 99, 768, 12 heads):
 
-The kernel runs elems=4 batch elements per program; the per-element "+="
-chain does 4 x 6 read-modify-writes into the constant-index-map grad
-accumulators (dwqkv alone is 7 MB f32). reg_batch sums the 4 elements'
-grads in registers and updates each accumulator once per program.
+  1. current: per-element VMEM accumulator updates (sequential grid)
+  2. reg_batch: register-sum the elems=4 elements' grads, one accumulator
+     update per program (still sequential)
+  3. defused: dx-only kernel on a PARALLEL grid; y/dqkv/attn materialized,
+     weight-grad contractions in XLA (_attn_half_bwd_defused)
 """
 import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -12,7 +13,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mirage_tpu.ops.block_attention import _attn_half_bwd_pallas
+from mirage_tpu.ops.block_attention import (_attn_half_bwd_defused,
+                                            _attn_half_bwd_pallas)
 
 
 def main():
@@ -47,19 +49,29 @@ def main():
         float(jnp.sum(acc.astype(jnp.float32)))
         return (time.perf_counter() - t0) / iters
 
+    @jax.jit
+    def f_def(x, dy):
+        return _attn_half_bwd_defused(x, dy, gamma, beta, wqkv, bqkv, wp,
+                                      heads, scale)
+
     got_a = f_per(x, dy)
-    got_b = f_reg(x, dy)
-    for i, (a, c) in enumerate(zip(got_a, got_b)):
-        a = np.asarray(a, np.float32)
-        c = np.asarray(c, np.float32)
-        rel = np.max(np.abs(a - c)) / (1e-3 + np.max(np.abs(c)))
-        assert rel < 3e-3, f"output {i}: norm-rel err {rel:.5f}"
+    for tag, fn, tol in (("reg_batch", f_reg, 3e-3), ("defused", f_def, 3e-2)):
+        got = fn(x, dy)
+        for i, (a, c) in enumerate(zip(got_a, got)):
+            a = np.asarray(a, np.float32)
+            c = np.asarray(c, np.float32)
+            rel = np.max(np.abs(a - c)) / (1e-3 + np.max(np.abs(c)))
+            assert rel < tol, f"{tag} output {i}: norm-rel err {rel:.5f}"
     print("parity ok", flush=True)
     t_per = time_fn(f_per)
     print(f"per-element accumulate: {t_per*1e3:7.3f} ms/layer", flush=True)
     t_reg = time_fn(f_reg)
     print(f"register-batched:       {t_reg*1e3:7.3f} ms/layer "
           f"({(t_per-t_reg)*1e3:+.3f} ms, x12 = {(t_per-t_reg)*12e3:+.1f} "
+          "ms/step)", flush=True)
+    t_def = time_fn(f_def)
+    print(f"defused (parallel+XLA): {t_def*1e3:7.3f} ms/layer "
+          f"({(t_per-t_def)*1e3:+.3f} ms, x12 = {(t_per-t_def)*12e3:+.1f} "
           "ms/step)", flush=True)
 
 

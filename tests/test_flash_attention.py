@@ -424,6 +424,38 @@ def test_attn_half_backward_kernel_matches_xla(rng):
                     err_msg=f"{name} @ b={b} n={n} reg_batch={reg_batch}")
 
 
+def test_attn_half_bwd_defused_matches_xla(rng):
+    """De-fused attention-half backward (parallel dx kernel + XLA weight-
+    grad contractions, interpret mode) vs jax.vjp through the XLA
+    half-block."""
+    import jax
+    import jax.numpy as jnp
+
+    from mirage_tpu.ops.block_attention import (
+        _attn_half_bwd_defused, _attn_half_xla)
+
+    for (b, n, h, d) in [(4, 24, 4, 64), (2, 33, 8, 128)]:
+        scale = (d // h) ** -0.5
+        x = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+        gamma = jnp.asarray(1.0 + 0.1 * rng.standard_normal(d).astype(np.float32))
+        beta = jnp.asarray(0.1 * rng.standard_normal(d).astype(np.float32))
+        wqkv = jnp.asarray(rng.standard_normal((d, 3 * d)).astype(np.float32) * 0.1)
+        bqkv = jnp.asarray(0.1 * rng.standard_normal(3 * d).astype(np.float32))
+        wp = jnp.asarray(rng.standard_normal((d, d)).astype(np.float32) * 0.1)
+        bp = jnp.asarray(0.1 * rng.standard_normal(d).astype(np.float32))
+        _, vjp = jax.vjp(lambda *a: _attn_half_xla(*a, h, scale),
+                         x, gamma, beta, wqkv, bqkv, wp, bp)
+        want = vjp(g)
+        got = _attn_half_bwd_defused(x, g, gamma, beta, wqkv, bqkv, wp,
+                                     h, scale, interpret=True)
+        names = ["dx", "dgamma", "dbeta", "dwqkv", "dbqkv", "dwproj", "dbproj"]
+        for name, gg, ww in zip(names, got, want):
+            np.testing.assert_allclose(
+                np.asarray(gg).reshape(np.asarray(ww).shape), np.asarray(ww),
+                atol=5e-4, rtol=1e-3, err_msg=f"{name} @ b={b} n={n}")
+
+
 def test_fused_kernel_gates_reject_unaligned_head_dim():
     """Non-32-multiple head dims must never reach the Pallas kernels: a
     dh=48 model hung the remote TPU compiler (XLA pipeline wedge around the
