@@ -67,6 +67,15 @@ def run(m, d, hdim, tag):
 def main():
     run(256 * 99, 768, 3072, "pretrain-flat")
     run(64 * 272, 768, 3072, "clsft-pad")
+    # exact-flat cls-FT: 257 blocks of 64 rows — the accumulating route
+    # rejected this (257 sequential accumulate programs), but on the
+    # de-fused PARALLEL grid program count is DMA-pipelined, so flat (no
+    # pad copies, no wasted rows) may win
+    run(64 * 257, 768, 3072, "clsft-flat")
+    # pretraining decoder MLPs (dim 256, 3 decoders x 2 layers, ~5 ms/step
+    # through the accumulating route): small fixed footprint -> 2048-row
+    # parallel blocks
+    run(256 * 256, 256, 1024, "decoder-mlp")
 
 
 if __name__ == "__main__":
