@@ -647,6 +647,13 @@ def _attn_half_fwd_vjp(x, gamma, beta, wqkv, bqkv, wproj, bproj, num_heads,
     return _attn_half_fwd(*res, num_heads, scale), res
 
 
+# Chip-A/B switch (scripts/bench_attn_bwd_regbatch.py): which backward the
+# custom VJP routes to — "accumulate" (sequential grid, in-kernel dW),
+# "reg_batch" (same, register-batched accumulator updates), or "defused"
+# (parallel dx kernel + XLA weight-grad contractions).
+_ATTN_BWD_IMPL = "accumulate"
+
+
 def _attn_half_bwd_vjp(num_heads, scale, res, g):
     x, gamma, beta, wqkv, bqkv, wproj, bproj = res
     try:
@@ -654,8 +661,13 @@ def _attn_half_bwd_vjp(num_heads, scale, res, g):
     except Exception:  # pragma: no cover
         on_tpu = False
     if on_tpu and _HAVE_PLTPU:
-        dx, dg, dbe, dwqkv, dbqkv, dwp, dbp = _attn_half_bwd_pallas(
-            x, g, gamma, beta, wqkv, bqkv, wproj, num_heads, scale)
+        if _ATTN_BWD_IMPL == "defused":
+            dx, dg, dbe, dwqkv, dbqkv, dwp, dbp = _attn_half_bwd_defused(
+                x, g, gamma, beta, wqkv, bqkv, wproj, num_heads, scale)
+        else:
+            dx, dg, dbe, dwqkv, dbqkv, dwp, dbp = _attn_half_bwd_pallas(
+                x, g, gamma, beta, wqkv, bqkv, wproj, num_heads, scale,
+                reg_batch=_ATTN_BWD_IMPL == "reg_batch")
         # optimization barrier: see ops/fused_mlp.py — keeps the f32 dW
         # outputs out of the caller's scoped-vmem-charged update fusion
         dx, dg, dbe, dwqkv, dbqkv, dwp, dbp = jax.lax.optimization_barrier(

@@ -167,6 +167,12 @@ def _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, block_rows: int = 512,
 # initialized at program 0 — the standard Pallas reduction pattern).
 # ---------------------------------------------------------------------------
 
+# Chip-A/B switch (scripts/bench_mlp_bwd_defused.py): "accumulate" keeps
+# the sequential in-kernel dW reduction; "defused" routes the 2-D terminal
+# to _mlp_block_bwd_defused (parallel dx kernel + XLA dW contractions).
+_MLP_BWD_IMPL = "accumulate"
+
+
 def _mlp_bwd_rows(x, dy, g_ref, be_ref, w1_ref, b1_ref, w2_ref):
     """Backward math for one (M, D) row block. Returns
     (dx, dgamma, dbeta, dw1, db1, dw2, db2) — grads in f32."""
@@ -353,6 +359,12 @@ def _mlp_block_bwd_pallas(x, dy, gamma, beta, w1, b1, w2, interpret=False):
         )(x, dy, *flat)
         return (dx, *grads)
     m = x.shape[0]
+    if _MLP_BWD_IMPL == "defused":
+        # chip-A/B switch — parallel dx kernel + XLA dW contractions; the
+        # 3-D routings above land here after their reshape, so every shape
+        # class inherits the dispatch
+        return _mlp_block_bwd_defused(x, dy, gamma, beta, w1, b1, w2,
+                                      interpret=interpret)
     # Bigger blocks = fewer sequential grid iterations (the accumulation
     # grid can't be parallelized) and fewer accumulator update rounds. The
     # seg ConvNeXt head's (131072, 384) backward ran at 5x its matmul floor
