@@ -430,8 +430,10 @@ def _attn_half_bwd_rows(x, dy, g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
         [c[0] for c in dqkv_cols] + [c[1] for c in dqkv_cols]
         + [c[2] for c in dqkv_cols], axis=-1)
     dqkv_c = dqkv.astype(x.dtype)
+    # dbqkv summed from the f32 dqkv (pre-bf16-cast) in BOTH modes so the
+    # defused impl's bias grads match the accumulating impl's numerics
+    dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
     if not defused:
-        dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
         dwqkv = jax.lax.dot_general(y, dqkv_c, (((0,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
     dyln = jax.lax.dot_general(dqkv_c, wqkv_c, (((1,), (1,)), ((), ())),
@@ -443,7 +445,7 @@ def _attn_half_bwd_rows(x, dy, g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
     m2 = jnp.mean(dyhat * yhat, axis=-1, keepdims=True)
     dx = dy32 + inv * (dyhat - m1 - yhat * m2)
     if defused:
-        return dx, dgamma, dbeta, y, dqkv_c, attn_out
+        return dx, dgamma, dbeta, dbqkv, y, dqkv_c, attn_out
     return dx, dgamma, dbeta, dwqkv, dbqkv, dwproj, dbproj
 
 
@@ -541,12 +543,12 @@ def _attn_half_bwd_pallas(x, dy, gamma, beta, wqkv, bqkv, wproj,
 
 def _attn_half_bwd_dx_kernel(x_ref, dy_ref, g_ref, be_ref, wqkv_ref,
                              bqkv_ref, wp_ref, dx_ref, y_ref, dqkv_ref,
-                             attn_ref, dgp_ref, dbp_ref, attn_scratch,
-                             s_scratch, dp_scratch, *, num_heads, dim, scale,
-                             elems):
-    dg_acc = dbe_acc = None
+                             attn_ref, dgp_ref, dbp_ref, dbqkvp_ref,
+                             attn_scratch, s_scratch, dp_scratch, *,
+                             num_heads, dim, scale, elems):
+    dg_acc = dbe_acc = dbq_acc = None
     for ei in range(elems):
-        dx, dg, dbe, y, dqkv_c, attn_out = _attn_half_bwd_rows(
+        dx, dg, dbe, dbq, y, dqkv_c, attn_out = _attn_half_bwd_rows(
             x_ref[ei], dy_ref[ei], g_ref, be_ref, wqkv_ref, bqkv_ref, wp_ref,
             s_scratch, dp_scratch, attn_scratch, num_heads=num_heads, dim=dim,
             scale=scale, defused=True)
@@ -556,8 +558,10 @@ def _attn_half_bwd_dx_kernel(x_ref, dy_ref, g_ref, be_ref, wqkv_ref,
         attn_ref[ei] = attn_out
         dg_acc = dg if dg_acc is None else dg_acc + dg
         dbe_acc = dbe if dbe_acc is None else dbe_acc + dbe
+        dbq_acc = dbq if dbq_acc is None else dbq_acc + dbq
     dgp_ref[...] = dg_acc
     dbp_ref[...] = dbe_acc
+    dbqkvp_ref[...] = dbq_acc
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
@@ -584,14 +588,15 @@ def _attn_half_bwd_defused(x, dy, gamma, beta, wqkv, bqkv, wproj,
             dimension_semantics=("parallel",),
             vmem_limit_bytes=64 * 1024 * 1024)
     wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))  # noqa: E731
-    dx, y, dqkv, attn, dgp, dbp = pl.pallas_call(
+    dx, y, dqkv, attn, dgp, dbp, dbqkvp = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((b, n, d), x.dtype),
                    jax.ShapeDtypeStruct((b, n, d), x.dtype),
                    jax.ShapeDtypeStruct((b, n, 3 * d), x.dtype),
                    jax.ShapeDtypeStruct((b, n, d), x.dtype),
                    jax.ShapeDtypeStruct((grid, d), jnp.float32),
-                   jax.ShapeDtypeStruct((grid, d), jnp.float32)],
+                   jax.ShapeDtypeStruct((grid, d), jnp.float32),
+                   jax.ShapeDtypeStruct((grid, 3 * d), jnp.float32)],
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((elems, n, d), lambda i: (i, 0, 0)),
@@ -605,7 +610,8 @@ def _attn_half_bwd_defused(x, dy, gamma, beta, wqkv, bqkv, wproj,
                    pl.BlockSpec((elems, n, 3 * d), lambda i: (i, 0, 0)),
                    pl.BlockSpec((elems, n, d), lambda i: (i, 0, 0)),
                    pl.BlockSpec((1, d), lambda i: (i, 0)),
-                   pl.BlockSpec((1, d), lambda i: (i, 0))],
+                   pl.BlockSpec((1, d), lambda i: (i, 0)),
+                   pl.BlockSpec((1, 3 * d), lambda i: (i, 0))],
         scratch_shapes=[pltpu.VMEM((n, d), x.dtype),
                         pltpu.VMEM((num_heads, n, n), jnp.float32),
                         pltpu.VMEM((num_heads, n, n), jnp.float32)]
@@ -617,7 +623,10 @@ def _attn_half_bwd_defused(x, dy, gamma, beta, wqkv, bqkv, wproj,
     contract = (((0, 1), (0, 1)), ((), ()))
     dwqkv = jax.lax.dot_general(y, dqkv, contract,
                                 preferred_element_type=jnp.float32)
-    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1)).reshape(1, 3 * d)
+    # dbqkv from the per-program f32 partials (pre-bf16-cast dqkv sums) to
+    # match the accumulating impl's numerics; dbproj sums the bf16 INPUT dy
+    # either way, so both impls match there by construction
+    dbqkv = jnp.sum(dbqkvp, axis=0, keepdims=True)
     dwp = jax.lax.dot_general(attn, dy.astype(attn.dtype), contract,
                               preferred_element_type=jnp.float32)
     dbp_out = jnp.sum(dy.astype(jnp.float32), axis=(0, 1)).reshape(1, d)

@@ -173,9 +173,15 @@ def _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, block_rows: int = 512,
 _MLP_BWD_IMPL = "accumulate"
 
 
-def _mlp_bwd_rows(x, dy, g_ref, be_ref, w1_ref, b1_ref, w2_ref):
+def _mlp_bwd_rows(x, dy, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
+                  defused: bool = False):
     """Backward math for one (M, D) row block. Returns
-    (dx, dgamma, dbeta, dw1, db1, dw2, db2) — grads in f32."""
+    (dx, dgamma, dbeta, dw1, db1, dw2, db2) — grads in f32.
+    defused=True skips the in-kernel dW matmuls and instead returns
+    (dx, dgamma, dbeta, db1, y, act, dh_c) so the caller can materialize
+    the intermediates and leave the dW contractions to XLA (db1 stays here
+    because it must be summed from the f32 dh, pre-bf16-cast, to match the
+    accumulating impl's numerics — see _mlp_block_bwd_defused)."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     # one-pass moments; see block_attention.py note
@@ -194,9 +200,10 @@ def _mlp_bwd_rows(x, dy, g_ref, be_ref, w1_ref, b1_ref, w2_ref):
     e = _erf(h / _SQRT2)
     act = (0.5 * h * (1.0 + e)).astype(x.dtype)
     dy32 = dy.astype(jnp.float32)
-    db2 = jnp.sum(dy32, axis=0, keepdims=True)
-    dw2 = jax.lax.dot_general(act, dy, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    if not defused:
+        db2 = jnp.sum(dy32, axis=0, keepdims=True)
+        dw2 = jax.lax.dot_general(act, dy, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
     dact = jax.lax.dot_general(dy, w2c, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     # d/dh [0.5 h (1+erf(h/sqrt2))] = 0.5 (1+erf) + h * N(h; 0,1)
@@ -204,8 +211,9 @@ def _mlp_bwd_rows(x, dy, g_ref, be_ref, w1_ref, b1_ref, w2_ref):
     dh = dact * dgelu
     db1 = jnp.sum(dh, axis=0, keepdims=True)
     dh_c = dh.astype(x.dtype)
-    dw1 = jax.lax.dot_general(y, dh_c, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    if not defused:
+        dw1 = jax.lax.dot_general(y, dh_c, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
     dyln = jax.lax.dot_general(dh_c, w1c, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     dgamma = jnp.sum(dyln * yhat, axis=0, keepdims=True)
@@ -214,6 +222,8 @@ def _mlp_bwd_rows(x, dy, g_ref, be_ref, w1_ref, b1_ref, w2_ref):
     m1 = jnp.mean(dyhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dyhat * yhat, axis=-1, keepdims=True)
     dx = dy32 + inv * (dyhat - m1 - yhat * m2)
+    if defused:
+        return dx, dgamma, dbeta, db1, y, act, dh_c
     return dx, dgamma, dbeta, dw1, db1, dw2, db2
 
 
@@ -328,7 +338,19 @@ def _mlp_block_bwd_pallas(x, dy, gamma, beta, w1, b1, w2, interpret=False):
         # 68 programs vs 257 flat — pad wins there.
         b, n, _ = x.shape
         n_pad = -(-n // 16) * 16
-        route = _route_unaligned_bwd(b, n, d, hdim)
+        if _MLP_BWD_IMPL == "defused":
+            # program count is DMA-pipelined on the defused PARALLEL grid,
+            # so exact-flatten (no pad copies, no wasted rows) is preferred
+            # whenever the defused footprint admits any block; pad only as
+            # the fallback
+            if _pick_bwd_block(b * n, d, hdim, 16, 4 * d * hdim) is not None:
+                route = "flat"
+            elif _pick_bwd_block(b * n_pad, d, hdim, 16, 4 * d * hdim) is not None:
+                route = "pad"
+            else:
+                route = None
+        else:
+            route = _route_unaligned_bwd(b, n, d, hdim)
         if route == "flat":
             out = _mlp_block_bwd_pallas(x.reshape(b * n, d),
                                         dy.reshape(b * n, d),
@@ -360,9 +382,10 @@ def _mlp_block_bwd_pallas(x, dy, gamma, beta, w1, b1, w2, interpret=False):
         return (dx, *grads)
     m = x.shape[0]
     if _MLP_BWD_IMPL == "defused":
-        # chip-A/B switch — parallel dx kernel + XLA dW contractions; the
-        # 3-D routings above land here after their reshape, so every shape
-        # class inherits the dispatch
+        # chip-A/B switch — parallel dx kernel + XLA dW contractions. The
+        # flat/pad 3-D routings land here after their reshape; only the
+        # per-element 3-D fallback (neither routing admits a block) stays
+        # on the accumulating kernel
         return _mlp_block_bwd_defused(x, dy, gamma, beta, w1, b1, w2,
                                       interpret=interpret)
     # Bigger blocks = fewer sequential grid iterations (the accumulation
@@ -403,42 +426,18 @@ def _mlp_block_bwd_pallas(x, dy, gamma, beta, w1, b1, w2, interpret=False):
 
 
 def _mlp_bwd_dx_kernel(x_ref, dy_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
-                       dx_ref, dh_ref, y_ref, act_ref, dgp_ref, dbp_ref):
-    x = x_ref[...]
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.maximum(
-        jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
-        - jnp.square(mean), 0.0)
-    inv = jax.lax.rsqrt(var + 1e-6)
-    yhat = (x32 - mean) * inv
-    g32 = g_ref[...].astype(jnp.float32)
-    y = (yhat * g32 + be_ref[...].astype(jnp.float32)).astype(x.dtype)
-    y_ref[...] = y
-    w1c = w1_ref[...]
-    w2c = w2_ref[...]
-    h = jax.lax.dot_general(y, w1c, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    h = h + b1_ref[...].astype(jnp.float32)
-    e = _erf(h / _SQRT2)
-    act_ref[...] = (0.5 * h * (1.0 + e)).astype(act_ref.dtype)
-    dy = dy_ref[...]
-    dact = jax.lax.dot_general(dy, w2c, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    dgelu = (0.5 * (1.0 + e)
-             + h * jnp.exp2(-0.5 * _LOG2E * h * h) * _INV_SQRT_2PI)
-    dh = dact * dgelu
-    dh_c = dh.astype(x.dtype)
-    dh_ref[...] = dh_c
-    dyln = jax.lax.dot_general(dh_c, w1c, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    dgp_ref[...] = jnp.sum(dyln * yhat, axis=0, keepdims=True)
-    dbp_ref[...] = jnp.sum(dyln, axis=0, keepdims=True)
-    dyhat = dyln * g32
-    m1 = jnp.mean(dyhat, axis=-1, keepdims=True)
-    m2 = jnp.mean(dyhat * yhat, axis=-1, keepdims=True)
-    dx = dy.astype(jnp.float32) + inv * (dyhat - m1 - yhat * m2)
+                       dx_ref, dh_ref, y_ref, act_ref, dgp_ref, dbp_ref,
+                       db1p_ref):
+    dx, dgamma, dbeta, db1, y, act, dh_c = _mlp_bwd_rows(
+        x_ref[...], dy_ref[...], g_ref, be_ref, w1_ref, b1_ref, w2_ref,
+        defused=True)
     dx_ref[...] = dx.astype(dx_ref.dtype)
+    dh_ref[...] = dh_c
+    y_ref[...] = y
+    act_ref[...] = act
+    dgp_ref[...] = dgamma
+    dbp_ref[...] = dbeta
+    db1p_ref[...] = db1
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -462,14 +461,15 @@ def _mlp_block_bwd_defused(x, dy, gamma, beta, w1, b1, w2, interpret=False):
     if blk is None:
         blk = m
     grid = m // blk
-    dx, dh, y, act, dgp, dbp = pl.pallas_call(
+    dx, dh, y, act, dgp, dbp, db1p = pl.pallas_call(
         _mlp_bwd_dx_kernel,
         out_shape=[jax.ShapeDtypeStruct((m, d), x.dtype),
                    jax.ShapeDtypeStruct((m, hdim), x.dtype),
                    jax.ShapeDtypeStruct((m, d), x.dtype),
                    jax.ShapeDtypeStruct((m, hdim), x.dtype),
                    jax.ShapeDtypeStruct((grid, d), jnp.float32),
-                   jax.ShapeDtypeStruct((grid, d), jnp.float32)],
+                   jax.ShapeDtypeStruct((grid, d), jnp.float32),
+                   jax.ShapeDtypeStruct((grid, hdim), jnp.float32)],
         grid=(grid,),
         in_specs=[pl.BlockSpec((blk, d), lambda i: (i, 0)),
                   pl.BlockSpec((blk, d), lambda i: (i, 0))] + w_specs,
@@ -478,7 +478,8 @@ def _mlp_block_bwd_defused(x, dy, gamma, beta, w1, b1, w2, interpret=False):
                    pl.BlockSpec((blk, d), lambda i: (i, 0)),
                    pl.BlockSpec((blk, hdim), lambda i: (i, 0)),
                    pl.BlockSpec((1, d), lambda i: (i, 0)),
-                   pl.BlockSpec((1, d), lambda i: (i, 0))],
+                   pl.BlockSpec((1, d), lambda i: (i, 0)),
+                   pl.BlockSpec((1, hdim), lambda i: (i, 0))],
         interpret=interpret,
         **kwargs,
     )(x, dy, *flat)
@@ -487,7 +488,10 @@ def _mlp_block_bwd_defused(x, dy, gamma, beta, w1, b1, w2, interpret=False):
     dw2 = jax.lax.dot_general(act, dy.astype(act.dtype),
                               (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    db1 = jnp.sum(dh.astype(jnp.float32), axis=0, keepdims=True)
+    # db1 from the per-program f32 partials (summing the bf16 dh instead
+    # measured ~1e-2 relative drift vs the accumulating impl); db2 sums the
+    # bf16 INPUT dy either way, so both impls match there by construction
+    db1 = jnp.sum(db1p, axis=0, keepdims=True)
     db2 = jnp.sum(dy.astype(jnp.float32), axis=0, keepdims=True)
     dgamma = jnp.sum(dgp, axis=0, keepdims=True)
     dbeta = jnp.sum(dbp, axis=0, keepdims=True)
@@ -757,7 +761,7 @@ def _stash_viable(m, d, hdim):
     return _pick_bwd_block(m, d, hdim, 14, 12 * d * hdim) is not None
 
 
-def _stash_route(x, d, hdim):
+def _stash_route(x, hdim):
     """Which stash forward to run (None = don't stash, use the recompute
     backward). Today only 2-D rows at d >= 384 engage (the seg ConvNeXt
     head's measured win; the dim-256 decoder MLPs measured flat-to-negative
@@ -776,6 +780,7 @@ def _stash_route(x, d, hdim):
     (99 % 8 != 0), and an out-of-jit (B,99,H)->(B*99,H) relayout is 45.7 ms.
     End-to-end: 6.85 vs 6.68 ms/layer — net LOSS. _mlp_block_fwd_stash3d
     stays as tested evidence (test_mlp_block_stash3d_matches_xla)."""
+    d = x.shape[-1]
     if d < 384 or x.ndim != 2:
         return None
     return "2d" if _stash_viable(x.shape[0], d, hdim) else None
@@ -789,7 +794,7 @@ def _mlp_block_stash(x, gamma, beta, w1, b1, w2, b2):
 def _mlp_block_stash_fwd_vjp(x, gamma, beta, w1, b1, w2, b2):
     from jax.ad_checkpoint import checkpoint_name
 
-    route = (_stash_route(x, x.shape[-1], w1.shape[-1])
+    route = (_stash_route(x, w1.shape[-1])
              if jax.default_backend() == "tpu" and _HAVE_PLTPU else None)
     if route != "2d":
         return _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2), \

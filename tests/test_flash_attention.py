@@ -320,6 +320,7 @@ def test_mlp_block_stash3d_matches_xla(rng):
         x, gamma, beta, w1, b1, w2, b2, interpret=True, stash_flat=True)
     np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_plain))
     np.testing.assert_array_equal(np.asarray(act_f), np.asarray(act2))
+    np.testing.assert_array_equal(np.asarray(dg_f), np.asarray(dg2))
 
     _, vjp = jax.vjp(_mlp_block_xla, x, gamma, beta, w1, b1, w2, b2)
     want = vjp(g)
@@ -375,17 +376,17 @@ def test_stash_route_decisions():
     from mirage_tpu.ops.fused_mlp import _stash_route
 
     x2d = jnp.zeros((131072, 384), jnp.bfloat16)
-    assert _stash_route(x2d, 384, 1536) == "2d"       # seg ConvNeXt head
+    assert _stash_route(x2d, 1536) == "2d"       # seg ConvNeXt head
     xr = jnp.zeros((131071, 384), jnp.bfloat16)
-    assert _stash_route(xr, 384, 1536) is None        # ragged rows
+    assert _stash_route(xr, 1536) is None        # ragged rows
     xd2 = jnp.zeros((65536, 256), jnp.bfloat16)
-    assert _stash_route(xd2, 256, 1024) is None       # d < 384
+    assert _stash_route(xd2, 1024) is None       # d < 384
     xp = jnp.zeros((256, 99, 768), jnp.bfloat16)
-    assert _stash_route(xp, 768, 3072) is None        # pretraining: negative
+    assert _stash_route(xp, 3072) is None        # pretraining: negative
     xc = jnp.zeros((64, 257, 768), jnp.bfloat16)
-    assert _stash_route(xc, 768, 3072) is None        # cls-FT
+    assert _stash_route(xc, 3072) is None        # cls-FT
     xd = jnp.zeros((256, 256, 256), jnp.bfloat16)
-    assert _stash_route(xd, 256, 1024) is None        # dim-256 decoder
+    assert _stash_route(xd, 1024) is None        # dim-256 decoder
 
 
 def test_attn_half_backward_kernel_matches_xla(rng):
