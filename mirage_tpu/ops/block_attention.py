@@ -659,8 +659,11 @@ def _attn_half_fwd_vjp(x, gamma, beta, wqkv, bqkv, wproj, bproj, num_heads,
 # Chip-A/B switch (scripts/bench_attn_bwd_regbatch.py): which backward the
 # custom VJP routes to — "accumulate" (sequential grid, in-kernel dW),
 # "reg_batch" (same, register-batched accumulator updates), or "defused"
-# (parallel dx kernel + XLA weight-grad contractions).
-_ATTN_BWD_IMPL = "accumulate"
+# (parallel dx kernel + XLA weight-grad contractions). Env override (read
+# once at import): MIRAGE_ATTN_BWD=defused python scripts/bench_train.py ...
+import os as _os  # noqa: E402
+
+_ATTN_BWD_IMPL = _os.environ.get("MIRAGE_ATTN_BWD", "accumulate")
 
 
 def _attn_half_bwd_vjp(num_heads, scale, res, g):

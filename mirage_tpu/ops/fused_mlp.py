@@ -170,7 +170,11 @@ def _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, block_rows: int = 512,
 # Chip-A/B switch (scripts/bench_mlp_bwd_defused.py): "accumulate" keeps
 # the sequential in-kernel dW reduction; "defused" routes the 2-D terminal
 # to _mlp_block_bwd_defused (parallel dx kernel + XLA dW contractions).
-_MLP_BWD_IMPL = "accumulate"
+# Env override (read once at import) lets full-step A/Bs flip it without
+# code edits: MIRAGE_MLP_BWD=defused python scripts/bench_train.py pretrain
+import os as _os  # noqa: E402
+
+_MLP_BWD_IMPL = _os.environ.get("MIRAGE_MLP_BWD", "accumulate")
 
 
 def _mlp_bwd_rows(x, dy, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
