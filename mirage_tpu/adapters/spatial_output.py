@@ -131,8 +131,12 @@ class SpatialOutputAdapter:
         return jnp.concatenate(chunks, axis=1)
 
     def __call__(self, params, encoder_tokens, input_info, ids_keep, ids_restore,
-                 *, deterministic=True, rng=None, impl="auto", absent_tasks=()):
-        """encoder_tokens: (B, E+G, D_enc); returns (B, C, H, W).
+                 *, deterministic=True, rng=None, impl="auto", absent_tasks=(),
+                 pixel_output=True):
+        """encoder_tokens: (B, E+G, D_enc); returns (B, C, H, W), or the
+        pre-unpatchify patch tokens (B, N, C*ph*pw) in (c, ph, pw) flat order
+        when pixel_output=False (for patch-space losses — the unpatchify is a
+        pure layout op the loss can algebraically absorb, losses/masked.py).
 
         When ids_keep/ids_restore are None (static-layout fast path), the
         visible encoder tokens are the non-absent tasks' chunks in task
@@ -237,4 +241,6 @@ class SpatialOutputAdapter:
                                 deterministic=deterministic, rng=r)
 
         x = linear(params["out_proj"], x)
+        if not pixel_output:
+            return x
         return unpatchify(x, nh, nw, ph, pw, self.num_channels)

@@ -60,6 +60,66 @@ def masked_mse_loss(pred, target, mask: Optional[jax.Array] = None,
     return _masked_mean(loss * mask_pix, mask_pix)
 
 
+def masked_mse_loss_tokens(pred_tokens, target, mask: Optional[jax.Array] = None,
+                           patch_size: int = 16, stride: int = 1,
+                           norm_pix: bool = False):
+    """Patch-space form of masked_mse_loss — algebraically identical, no
+    pixel-space arrays.
+
+    pred_tokens: (B, N, C*p*p), the output adapter's pre-unpatchify tokens
+    ((c, ph, pw) flat order); target: (B, C, H, W).
+
+    Equivalence (criterion.py:70-117 semantics): the pixel path's channel
+    mean + nearest-upsampled token mask make every pixel of patch i carry
+    weight mask[i], so the per-sample masked mean over pixels equals the
+    masked mean over patches of the per-patch mean squared error. This skips
+    unpatchify(pred), the (B, H, W) mask upsample, and the pixel loss/mask
+    streams (at the pretraining shapes: three ~270 MB HBM streams + their
+    backward mirrors). Exactness pinned by tests/test_loss_tokens.py.
+    """
+    scale = patch_size // stride
+    t = patchify(target, scale, scale)
+    if norm_pix:
+        mean = t.mean(axis=-1, keepdims=True)
+        var = t.var(axis=-1, keepdims=True, ddof=1)
+        t = (t - mean) / jnp.sqrt(var + 1e-6)
+    loss_p = jnp.mean((pred_tokens - t) ** 2, axis=-1)  # (B, N)
+    if mask is None:
+        return loss_p.mean()
+    m = mask.astype(loss_p.dtype)
+    return _masked_mean(loss_p * m, m)
+
+
+def masked_ce_loss_tokens(logits_tokens, target, mask: Optional[jax.Array] = None,
+                          patch_size: int = 16, stride: int = 1,
+                          label_smoothing: float = 0.0):
+    """Patch-space form of masked_ce_loss (same equivalence argument as
+    masked_mse_loss_tokens; softmax/one-hot run per pixel either way, but
+    the class axis lands minor-most and the unpatchify/mask-upsample layout
+    ops disappear).
+
+    logits_tokens: (B, N, C*p*p) in (c, ph, pw) flat order;
+    target: (B, H, W) int.
+    """
+    scale = patch_size // stride
+    b, n, flat = logits_tokens.shape
+    pix = scale * scale
+    c = flat // pix
+    lg = logits_tokens.reshape(b, n, c, pix).astype(jnp.float32)
+    logp = jax.nn.log_softmax(lg, axis=2)
+    t = patchify(target[:, None], scale, scale)  # (B, N, p*p) int
+    onehot = jax.nn.one_hot(t, c, axis=2, dtype=logp.dtype)  # (B, N, C, p*p)
+    nll = -jnp.sum(logp * onehot, axis=2)  # (B, N, p*p)
+    if label_smoothing > 0.0:
+        smooth = -logp.mean(axis=2)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    loss_p = nll.mean(axis=-1)  # (B, N)
+    if mask is None:
+        return loss_p.mean()
+    m = mask.astype(loss_p.dtype)
+    return _masked_mean(loss_p * m, m)
+
+
 def masked_ce_loss(logits, target, mask: Optional[jax.Array] = None,
                    patch_size: int = 16, stride: int = 1,
                    label_smoothing: float = 0.0):

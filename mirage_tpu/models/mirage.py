@@ -141,12 +141,15 @@ class MIRAGEModel:
         return_all_layers: bool = False,
         reshape: bool = False,
         absent_tasks: Sequence[str] = (),
+        pixel_outputs: bool = True,
     ):
         """Masked pretraining forward (model.py:305-431).
 
         absent_tasks: statically-known fully-masked modalities whose input
         embeddings are skipped (only valid with explicit task_masks marking
         them fully masked — the wrapper's zero-fill path).
+        pixel_outputs: when False, output adapters return pre-unpatchify
+        patch tokens (B, N, C*p*p) for the patch-space training losses.
         Returns (preds_dict, task_masks) when output adapters exist, else
         (encoder_tokens, task_masks).
         """
@@ -250,7 +253,7 @@ class MIRAGEModel:
                 params["output_adapters"][domain], encoder_tokens, input_info,
                 ids_keep, ids_restore, deterministic=deterministic,
                 rng=None if dec_rng is None else dec_rng[j], impl=self.attn_impl,
-                absent_tasks=absent_tasks)
+                absent_tasks=absent_tasks, pixel_output=pixel_outputs)
         return preds, task_masks
 
     # ---------------------------------------------------------- light path

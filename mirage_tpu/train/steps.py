@@ -10,15 +10,26 @@ host-side schedule arrays (no recompiles); loss in f32; model compute dtype
 is configurable (bf16 on TPU).
 """
 
+import os
 from typing import Any, Callable, Mapping
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from mirage_tpu.losses.masked import masked_ce_loss, masked_mse_loss
+from mirage_tpu.losses.masked import (masked_ce_loss, masked_ce_loss_tokens,
+                                      masked_mse_loss, masked_mse_loss_tokens)
 from mirage_tpu.parallel.mesh import batch_spec, param_specs
 from mirage_tpu.train.optim import GroupedOptimizer
+
+
+# Loss computation space for the pretraining step. "token" computes the
+# masked losses on the decoders' pre-unpatchify patch tokens — algebraically
+# identical to the pixel path (losses/masked.py equivalence notes) but with
+# no unpatchify / mask-upsample / pixel-stream HBM traffic. Chip A/B:
+# MIRAGE_LOSS_SPACE=token python scripts/bench_loss_tokens.py (and
+# scripts/bench_train.py pretrain). Default stays "pixel" until measured.
+_LOSS_SPACE = os.environ.get("MIRAGE_LOSS_SPACE", "pixel")
 
 
 def make_pretrain_loss(model, domain_conf: Mapping[str, Mapping[str, Any]],
@@ -27,23 +38,26 @@ def make_pretrain_loss(model, domain_conf: Mapping[str, Mapping[str, Any]],
                        loss_on_unmasked: bool = False):
     """domain_conf: task -> {'loss': 'mse'|'ce', 'patch_size': int,
     'norm_pix': bool}. Returns loss_fn(params, batch, rng) -> (loss, aux)."""
+    token_space = _LOSS_SPACE == "token"
 
     def loss_fn(params, batch, rng):
         preds, masks = model(
             params, batch, mask_inputs=True,
             num_encoded_tokens=num_encoded_tokens, alphas=alphas,
             sample_tasks_uniformly=sample_tasks_uniformly,
-            rng=rng, deterministic=False)
+            rng=rng, deterministic=False, pixel_outputs=not token_space)
         task_losses = {}
         for task, pred in preds.items():
             conf = domain_conf[task]
             mask = None if loss_on_unmasked else masks[task]
             target = batch[task]
             if conf["loss"] == "ce":
-                task_losses[task] = masked_ce_loss(
+                ce = masked_ce_loss_tokens if token_space else masked_ce_loss
+                task_losses[task] = ce(
                     pred, target, mask, patch_size=conf["patch_size"])
             else:
-                task_losses[task] = masked_mse_loss(
+                mse = masked_mse_loss_tokens if token_space else masked_mse_loss
+                task_losses[task] = mse(
                     pred.astype(jnp.float32), target.astype(jnp.float32), mask,
                     patch_size=conf["patch_size"],
                     norm_pix=conf.get("norm_pix", False))
