@@ -25,6 +25,8 @@ vs_baseline = measured / 890 (so the >2x A100 north star reads as >2.0).
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -34,6 +36,36 @@ import numpy as np
 A100_EST_IMG_PER_SEC = 890.0
 BATCH = 512
 ITERS = 12
+
+# The axon tunnel occasionally drops; a hung backend init inside this
+# process cannot be cancelled, so probe device availability in a SUBPROCESS
+# and wait (bounded) for recovery before committing to the in-process jax
+# import. Overridable for faster local iteration.
+CHIP_WAIT_S = int(os.environ.get("MIRAGE_BENCH_CHIP_WAIT_S", "2700"))
+_PROBE = "import jax; jax.devices()"
+
+
+def wait_for_chip(deadline_s: float = CHIP_WAIT_S) -> None:
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run([sys.executable, "-c", _PROBE], timeout=240,
+                           check=True, stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            waited = time.monotonic() - t0
+            if waited >= deadline_s:
+                print(f"bench.py: device backend unavailable after "
+                      f"{waited:.0f}s ({attempt} probes) — giving up",
+                      file=sys.stderr, flush=True)
+                sys.exit(2)
+            print(f"bench.py: device probe failed (attempt {attempt}, "
+                  f"{waited:.0f}s elapsed); retrying", file=sys.stderr,
+                  flush=True)
+            time.sleep(60)
 
 
 def main_all():
@@ -54,6 +86,8 @@ def main_all():
 
 
 def main():
+    wait_for_chip()
+
     import jax
     import jax.numpy as jnp
 
