@@ -76,6 +76,12 @@ def main():
     # through the accumulating route): small fixed footprint -> 2048-row
     # parallel blocks
     run(256 * 256, 256, 1024, "decoder-mlp")
+    # ViT-L pretraining (batch 128): the accumulating route's fixed f32
+    # weight accumulators (~50 MB at d=1024/h=4096) bust the VMEM block
+    # budget and degrade it to 64-row blocks (fused_mlp._pick_bwd_block
+    # tier-2); the de-fused kernel carries NO weight accumulators, so its
+    # blocks stay large — the structural case for de-fusing
+    run(128 * 99, 1024, 4096, "pretrain-large-flat")
 
 
 if __name__ == "__main__":
