@@ -40,8 +40,11 @@ ITERS = 12
 # The axon tunnel occasionally drops; a hung backend init inside this
 # process cannot be cancelled, so probe device availability in a SUBPROCESS
 # and wait (bounded) for recovery before committing to the in-process jax
-# import. Overridable for faster local iteration.
-CHIP_WAIT_S = int(os.environ.get("MIRAGE_BENCH_CHIP_WAIT_S", "2700"))
+# import. The default deadline must sit WELL inside the driver's own
+# timeout (round 3's BENCH_r03.json was an uninformative rc=124 because a
+# 2700 s wait outlived it) — fail fast with a parseable JSON error line
+# instead. Overridable for longer local waits.
+CHIP_WAIT_S = int(os.environ.get("MIRAGE_BENCH_CHIP_WAIT_S", "900"))
 _PROBE = "import jax; jax.devices()"
 
 
@@ -51,7 +54,7 @@ def wait_for_chip(deadline_s: float = CHIP_WAIT_S) -> None:
     while True:
         attempt += 1
         try:
-            subprocess.run([sys.executable, "-c", _PROBE], timeout=240,
+            subprocess.run([sys.executable, "-c", _PROBE], timeout=180,
                            check=True, stdout=subprocess.DEVNULL,
                            stderr=subprocess.DEVNULL)
             return
@@ -61,7 +64,17 @@ def wait_for_chip(deadline_s: float = CHIP_WAIT_S) -> None:
                 print(f"bench.py: device backend unavailable after "
                       f"{waited:.0f}s ({attempt} probes) — giving up",
                       file=sys.stderr, flush=True)
-                sys.exit(2)
+                # One parseable JSON line so the driver artifact records an
+                # informative failure rather than a bare timeout.
+                print(json.dumps({
+                    "metric": "mirage_large_infer_images_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "images/sec",
+                    "vs_baseline": 0.0,
+                    "error": f"chip unavailable ({attempt} probes over "
+                             f"{waited:.0f}s)",
+                }), flush=True)
+                sys.exit(0)
             print(f"bench.py: device probe failed (attempt {attempt}, "
                   f"{waited:.0f}s elapsed); retrying", file=sys.stderr,
                   flush=True)

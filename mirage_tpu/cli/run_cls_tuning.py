@@ -130,6 +130,11 @@ def main(argv=None):
                  "weights", "input_size", "linear_probing", "lr", "min_lr",
                  "pool", "smoothing", "val_metric", "val_metric_two",
                  "warmup_epochs", "weight_decay")
+    if args.affine:
+        # at its default (True) 'affine' must not perturb the hash: runs
+        # trained before the flag existed would otherwise resolve --eval /
+        # resume to a fresh empty directory (ADVICE r3)
+        hash_keys = tuple(k for k in hash_keys if k != "affine")
     exclude = tuple(k for k in vars(args) if k not in hash_keys)
     args.output_dir = os.path.join(
         args.output_dir, args.version, str(args.seed), args.data_set,

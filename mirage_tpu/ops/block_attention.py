@@ -661,9 +661,10 @@ def _attn_half_fwd_vjp(x, gamma, beta, wqkv, bqkv, wproj, bproj, num_heads,
 # "reg_batch" (same, register-batched accumulator updates), or "defused"
 # (parallel dx kernel + XLA weight-grad contractions). Env override (read
 # once at import): MIRAGE_ATTN_BWD=defused python scripts/bench_train.py ...
-import os as _os  # noqa: E402
+from mirage_tpu.utils.envflags import env_choice as _env_choice  # noqa: E402
 
-_ATTN_BWD_IMPL = _os.environ.get("MIRAGE_ATTN_BWD", "accumulate")
+_ATTN_BWD_IMPL = _env_choice("MIRAGE_ATTN_BWD", "accumulate",
+                             ("accumulate", "reg_batch", "defused"))
 
 
 def _attn_half_bwd_vjp(num_heads, scale, res, g):

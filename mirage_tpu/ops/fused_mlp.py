@@ -172,9 +172,10 @@ def _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, block_rows: int = 512,
 # to _mlp_block_bwd_defused (parallel dx kernel + XLA dW contractions).
 # Env override (read once at import) lets full-step A/Bs flip it without
 # code edits: MIRAGE_MLP_BWD=defused python scripts/bench_train.py pretrain
-import os as _os  # noqa: E402
+from mirage_tpu.utils.envflags import env_choice as _env_choice  # noqa: E402
 
-_MLP_BWD_IMPL = _os.environ.get("MIRAGE_MLP_BWD", "accumulate")
+_MLP_BWD_IMPL = _env_choice("MIRAGE_MLP_BWD", "accumulate",
+                            ("accumulate", "defused"))
 
 
 def _mlp_bwd_rows(x, dy, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
@@ -880,9 +881,15 @@ def _bwd_kernel_viable(x, d, hdim):
             m = b * n
         else:
             # unaligned 3-D: the flatten/pad routings self-gate on the
-            # two-tier picker (ceiling-safe), and when neither is viable
-            # the per-element path runs — always compilable
-            return True
+            # two-tier picker (ceiling-safe); when neither admits a block
+            # the per-element path runs — estimate ITS footprint too
+            # ((elems, n) rows live at once + the fixed f32 accumulators
+            # and weights), so a future shape where all three bust VMEM
+            # falls back to XLA instead of failing Mosaic compile
+            if _route_unaligned_bwd(b, n, d, hdim) is not None:
+                return True
+            elems = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
+            return (elems * n * hdim * 18 + 12 * d * hdim) < 58 * 2 ** 20
     else:
         m = x.shape[0]
     blk = _pick_bwd_block(m, d, hdim, 18, 12 * d * hdim)

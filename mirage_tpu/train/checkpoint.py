@@ -126,16 +126,30 @@ def load_checkpoint(path: str, state_template, *, partial: bool = False):
     else:
         try:
             state = ckptr.restore(path, abstract)
-        except Exception:
+        except Exception as e:
             # moment-layout drift (frozen-leaf scalar placeholders vs
-            # full-size buffers): restore raw, then reconcile — re-raises
-            # on any mismatch that is not a freeze-layout change
+            # full-size buffers) surfaces as a shape/structure mismatch;
+            # anything else (corrupt checkpoint, IO, dtype corruption) is
+            # NOT maskable by a raw-restore retry — re-raise it unmasked
+            msg = str(e).lower()
+            if not any(s in msg for s in ("shape", "struct", "mismatch",
+                                          "tree", "not compatible")):
+                raise
             raw = ckptr.restore(path)
             if not (isinstance(raw, dict) and isinstance(state_template, dict)
                     and {"params", "opt"} <= raw.keys()
                     and {"params", "opt"} <= state_template.keys()):
-                raise
+                raise ValueError(
+                    f"checkpoint at {path} does not have the params/opt "
+                    f"train-state structure") from e
             state = _reconcile_opt_moments(raw, state_template)
+            # the raw restore ignores the template's shardings/dtypes —
+            # re-apply them (the abstract restore would have)
+            def _place(r, t):
+                r = np.asarray(r).astype(t.dtype) if hasattr(t, "dtype") else r
+                sharding = getattr(t, "sharding", None)
+                return jax.device_put(r, sharding) if sharding is not None else r
+            state = jax.tree_util.tree_map(_place, state, state_template)
     meta_path = os.path.join(path, "meta.json")
     meta = {}
     if os.path.exists(meta_path):

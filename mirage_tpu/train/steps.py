@@ -29,7 +29,9 @@ from mirage_tpu.train.optim import GroupedOptimizer
 # no unpatchify / mask-upsample / pixel-stream HBM traffic. Chip A/B:
 # MIRAGE_LOSS_SPACE=token python scripts/bench_loss_tokens.py (and
 # scripts/bench_train.py pretrain). Default stays "pixel" until measured.
-_LOSS_SPACE = os.environ.get("MIRAGE_LOSS_SPACE", "pixel")
+from mirage_tpu.utils.envflags import env_choice as _env_choice  # noqa: E402
+
+_LOSS_SPACE = _env_choice("MIRAGE_LOSS_SPACE", "pixel", ("pixel", "token"))
 
 
 def make_pretrain_loss(model, domain_conf: Mapping[str, Mapping[str, Any]],
