@@ -45,9 +45,16 @@ class MIRAGEWrapper:
         mesh=None,
         model_override: Optional[str] = None,
     ):
-        """mesh: optional jax.sharding.Mesh for multi-chip serving — params
-        shard per parallel.mesh.param_specs (Megatron-style encoder split over
-        'fsdp'x'tensor'), inputs shard over the 'data' axis. None = one chip.
+        """mesh: optional jax.sharding.Mesh for multi-chip serving — pure
+        data parallelism: params REPLICATED per device, batches sharded over
+        every mesh axis, and the jitted forward wrapped in shard_map. Two
+        reasons this beats parameter sharding for serving: (1) the fused
+        Pallas kernels only compose with a mesh under shard_map (a
+        pallas_call with GSPMD-sharded operands is a hard Mosaic error —
+        ops/runtime.py), and inside shard_map each program must hold whole
+        layers anyway; (2) inference params are small (MIRAGE-Large bf16
+        ≈ 0.7 GB vs 16 GB v5e HBM), so replication costs nothing and saves
+        every per-layer collective. None = one chip.
 
         (There is deliberately no quantize= mode: int8 serving measured a
         NEGATIVE on v5e through this toolchain — XLA int8 dots run at the
@@ -85,37 +92,38 @@ class MIRAGEWrapper:
         self._n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(self.params))
         self.mesh = mesh
         if mesh is not None:
-            from mirage_tpu.parallel.mesh import shard_params
+            from mirage_tpu.parallel.mesh import replicate
 
-            self.params = shard_params(self.params, mesh)
+            self.params = replicate(self.params, mesh)
         # per-instance executable caches (an lru_cache on a bound method would
         # key on self and pin params of discarded wrappers)
         self._fwd_cache: Dict = {}
         self._features_model = None
         self._features_jit = None
 
+    _SERVE_AXES = ("data", "fsdp", "tensor")
+
     def _batch_multiple(self) -> int:
         if self.mesh is None:
             return 1
-        return self.mesh.shape["data"] * self.mesh.shape["fsdp"]
+        return self.mesh.size  # serving shards the batch over EVERY axis
 
     def _place_batch(self, tree, batch: int):
-        """Mesh placement via the shared train-side helper; batches are padded
-        to the data*fsdp multiple by the callers (outputs sliced back)."""
+        """Pad to the device multiple and shard over all mesh axes (outputs
+        sliced back by the callers)."""
         if self.mesh is None:
             return tree
-        from mirage_tpu.train.steps import shard_batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        mult = self._batch_multiple()
-        pad = (-batch) % mult
+        pad = (-batch) % self._batch_multiple()
 
-        def pad_batch(x):
-            if pad == 0:
-                return x
-            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-            return jnp.pad(x, widths)
+        def place(x):
+            if pad:
+                x = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+            spec = P(self._SERVE_AXES, *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
 
-        return shard_batch(jax.tree_util.tree_map(pad_batch, tree), self.mesh)
+        return jax.tree_util.tree_map(place, tree)
 
     # ------------------------------------------------------------------
 
@@ -164,7 +172,11 @@ class MIRAGEWrapper:
         elif "base" in model_name:
             dim, depth, heads = 768, 12, 12
         elif "tiny" in model_name:  # dev/smoke-test size (ours, not reference)
-            dim, depth, heads = 192, 3, 4
+            # checkpoint args may override the dev dims (tests use this to
+            # pick kernel-compatible head_dims, e.g. 128/4 -> dh 32)
+            dim = args.get("dim_tokens", 192)
+            depth = args.get("depth", 3)
+            heads = args.get("num_heads", 4)
         else:
             raise ValueError(f"Unknown model size: {model_name}")
 
@@ -195,6 +207,11 @@ class MIRAGEWrapper:
                         absent_tasks=absent)
             return out[0]
 
+        if self.mesh is not None:
+            from mirage_tpu.parallel.mesh import dp_shard_map
+
+            fwd = dp_shard_map(fwd, self.mesh, n_batch_args=2,
+                               axes=self._SERVE_AXES)
         self._fwd_cache[key] = jax.jit(fwd)
         return self._fwd_cache[key]
 
@@ -238,8 +255,13 @@ class MIRAGEWrapper:
             self._features_model = dataclasses.replace(
                 self.model, output_adapters=None)
             model = self._features_model
-            self._features_jit = jax.jit(
-                lambda params, xs: model.forward_light(params, xs))
+            feats = lambda params, xs: model.forward_light(params, xs)  # noqa: E731
+            if self.mesh is not None:
+                from mirage_tpu.parallel.mesh import dp_shard_map
+
+                feats = dp_shard_map(feats, self.mesh, n_batch_args=1,
+                                     axes=self._SERVE_AXES)
+            self._features_jit = jax.jit(feats)
         x = {k: jnp.asarray(v) if k != "bscanlayermap" else jnp.asarray(v).astype(jnp.int32)
              for k, v in x.items()}
         batch = int(next(iter(x.values())).shape[0])

@@ -169,37 +169,89 @@ def main(argv=None):
         weight_decay=args.weight_decay,
         frozen_paths=("model", "norm") if args.linear_probing else ()))
 
-    def loss_fn(params, images, targets, weights, rng):
+    # Data-parallel mesh (SURVEY §2.5): batch sharded over all devices,
+    # params/moments replicated; the kernel-bearing steps go through
+    # shard_map on multi-device meshes (see below). Created before the step
+    # builders, which branch on mesh.size.
+    mesh = make_mesh()
+
+    def loss_fn(params, images, targets, weights, rng, axes=None):
         logits = cls.apply(params, images, deterministic=False, rng=rng,
                            frozen_encoder=args.linear_probing)
-        loss = cross_entropy_loss(logits[..., None, None],
+        # sum-form CE: on a sharded step the weighted normalization must use
+        # the GLOBAL weight total (per-shard weighted means don't recombine
+        # — the zero-weight padding rows all land on the last shard)
+        s, w = cross_entropy_loss(logits[..., None, None],
                                   targets[..., None, None],
                                   label_smoothing=args.smoothing,
-                                  weights=weights)
-        return loss, logits
+                                  weights=weights, normalize=False)
+        if axes is not None:
+            s, w = jax.lax.psum((s, w), axes)
+        return s / jnp.maximum(w, 1.0), logits
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, images, targets, weights, rng, lr):
+    def train_body(state, images, targets, weights, rng, lr, axes=None):
         def wrapped(params, images, targets, rng):
             # frozen leaves (linear probing) get stop_gradient: no dW compute
-            return loss_fn(opt.stop_frozen(params), images, targets, weights, rng)
+            return loss_fn(opt.stop_frozen(params), images, targets, weights,
+                           rng, axes=axes)
 
         (loss, logits), grads = jax.value_and_grad(wrapped, has_aux=True)(
             state["params"], images, targets, rng)
+        if axes is not None:
+            # the in-loss psum makes per-shard grads PARTIAL contributions
+            # of the already-globally-normalized loss: sum, don't average
+            grads = jax.lax.psum(grads, axes)
         params, opt_state, gnorm = opt.update(grads, state["opt"],
                                               state["params"], lr)
         state = {"params": params, "opt": opt_state, "step": state["step"] + 1}
         return state, loss, logits, gnorm
 
-    @jax.jit
-    def eval_step(params, images):
+    def eval_body(params, images):
         logits = cls.apply(params, images)
         return jax.nn.softmax(logits, axis=-1), logits
 
+    if mesh.size > 1:
+        # shard_map, not GSPMD: kernel-bearing steps must be manually
+        # partitioned on a multi-chip mesh (parallel/mesh.dp_shard_map note);
+        # params/opt replicated, batch + per-example weights sharded
+        from jax.sharding import PartitionSpec as P
+
+        ax = ("data", "fsdp")
+
+        def train_local(state, images, targets, weights, rng, lr):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
+            return train_body(state, images, targets, weights, rng, lr,
+                              axes=ax)
+
+        train_step = jax.jit(jax.shard_map(
+            train_local, mesh=mesh,
+            in_specs=(P(), P(ax), P(ax), P(ax), P(), P()),
+            out_specs=(P(), P(), P(ax), P()), check_vma=False),
+            donate_argnums=(0,))
+        eval_step = jax.jit(jax.shard_map(
+            eval_body, mesh=mesh, in_specs=(P(), P(ax)),
+            out_specs=(P(ax), P(ax)), check_vma=False))
+    else:
+        train_step = jax.jit(train_body, donate_argnums=(0,))
+        eval_step = jax.jit(eval_body)
+
     def evaluate(params, loader, epoch, mode="Valid", save_predictions=False):
+        if mesh.size > 1:
+            # host-loaded params (--eval / best-ckpt paths) must be
+            # replicated onto the mesh for the shard_map eval
+            from mirage_tpu.parallel.mesh import replicate
+
+            params = replicate(params, mesh)
         probs_all, targets_all, losses = [], [], []
         for images, targets, _sids in loader:
+            n = len(images)
+            pad = (-n) % mesh.size  # shard_map eval needs a device multiple
+            if pad:
+                images = np.concatenate(
+                    [images, np.broadcast_to(images[:1],
+                                             (pad,) + images.shape[1:])])
             probs, logits = eval_step(params, jnp.asarray(images))
+            probs, logits = probs[:n], logits[:n]
             loss = float(cross_entropy_loss(
                 jnp.asarray(logits)[..., None, None],
                 jnp.asarray(targets)[..., None, None]))
@@ -224,12 +276,9 @@ def main(argv=None):
 
     state = init_train_state(cls.params, opt)
 
-    # Data-parallel mesh (SURVEY §2.5): batch sharded over all devices,
-    # params/moments replicated (or Megatron-sharded on multi-axis meshes).
     # Ragged final batches (drop_last=False, run_cls_tuning.py:268-272) are
     # padded to a fixed shape with zero-weight rows — exact loss/grads, no
     # per-shape recompiles.
-    mesh = make_mesh()
     ndata = int(np.prod([mesh.shape[a] for a in ("data", "fsdp")
                          if a in mesh.shape]))
     padded_bs = -(-args.batch_size // max(ndata, 1)) * max(ndata, 1)

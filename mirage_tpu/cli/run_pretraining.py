@@ -90,6 +90,13 @@ def get_parser():
                    help="per-layer rematerialization (activation checkpointing)")
     p.add_argument("--mesh_fsdp", default=1, type=int)
     p.add_argument("--mesh_tensor", default=1, type=int)
+    p.add_argument("--distributed", default=False, action="store_true",
+                   help="multi-host: call jax.distributed.initialize before "
+                        "touching the backend (coordinator/process info from "
+                        "the flags below or cluster auto-detection)")
+    p.add_argument("--coordinator_address", default=None, type=str)
+    p.add_argument("--num_processes", default=None, type=int)
+    p.add_argument("--process_id", default=None, type=int)
     p.add_argument("--log_freq", default=20, type=int)
     p.add_argument("--debug_images", default=True, type=str2bool)
     p.add_argument("--max_steps_per_epoch", default=None, type=int,
@@ -224,6 +231,15 @@ def main(argv=None):
     from mirage_tpu.train.steps import (init_train_state, make_pretrain_loss,
                                         make_train_step, shard_batch, shard_state)
 
+    if args.distributed:
+        # multi-host DCN: per-host DataLoader stripes are assembled into
+        # logically-global arrays by shard_batch's process_count()>1 branch
+        # (tests/test_multihost.py runs this two-process on the real model)
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes, process_id=args.process_id)
+        print(f"process {jax.process_index()}/{jax.process_count()}")
+
     print(f"Devices: {jax.device_count()} ({jax.default_backend()})")
     ndev = jax.device_count()
     mesh = make_mesh({"data": ndev // (args.mesh_fsdp * args.mesh_tensor),
@@ -283,7 +299,9 @@ def main(argv=None):
                                  alphas=args.alphas,
                                  sample_tasks_uniformly=args.sample_tasks_uniformly,
                                  loss_on_unmasked=args.loss_on_unmasked)
-    step_fn = make_train_step(loss_fn, opt)
+    # mesh routing: dp-only meshes take the shard_map step (Pallas kernels
+    # engage per-device); fsdp/tensor meshes keep GSPMD (steps.py note)
+    step_fn = make_train_step(loss_fn, opt, mesh=mesh)
 
     state = init_train_state(params, opt)
     del params
@@ -332,9 +350,18 @@ def main(argv=None):
                     debug_fwd = jax.jit(lambda p, b, r: model(
                         p, b, mask_inputs=True,
                         num_encoded_tokens=args.num_encoded_tokens, rng=r))
-                preds, masks = debug_fwd(state["params"], batch,
+                # debug dumps need a handful of images: run unsharded on a
+                # host copy (mesh-sharded operands would otherwise reach the
+                # kernels outside shard_map — the Mosaic partitioning error)
+                dbg_batch = jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(jax.device_get(x)[:8]), batch)
+                dbg_params = jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(jax.device_get(x)),
+                    state["params"]) if mesh.size > 1 else state["params"]
+                preds, masks = debug_fwd(dbg_params, dbg_batch,
                                          jax.random.PRNGKey(epoch))
-                save_debug_images(args.output_dir, epoch, batch, preds, masks, args)
+                save_debug_images(args.output_dir, epoch, dbg_batch, preds,
+                                  masks, args)
             it += 1
         stack.close()  # flush the profiler trace for the profiled epoch
 

@@ -304,10 +304,9 @@ def main(argv=None):
         loss = criterion(logits, batch["semseg"])
         return loss, {}
 
-    step_fn = make_train_step(loss_fn, opt)
+    step_fn = make_train_step(loss_fn, opt, mesh=mesh)
 
-    @jax.jit
-    def eval_fn(params_, batch):
+    def eval_body(params_, batch):
         inputs = {k: v for k, v in batch.items() if k in args.in_domains}
         preds = model.forward_light(params_, inputs,
                                     return_all_layers=return_all_layers)
@@ -318,6 +317,23 @@ def main(argv=None):
             logits = resize2d(logits, batch["semseg"].shape[-2:], mode="bilinear")
         loss = criterion(logits, batch["semseg"])
         return logits.argmax(axis=1), loss
+
+    if mesh.size > 1:
+        # shard_map (not GSPMD): the kernel-bearing eval must be manually
+        # partitioned on a multi-chip mesh (parallel/mesh.dp_shard_map note)
+        from jax.sharding import PartitionSpec as P
+
+        ax = ("data", "fsdp")
+
+        def eval_local(params_, batch):
+            preds, loss = eval_body(params_, batch)
+            return preds, jax.lax.pmean(loss, ax)
+
+        eval_fn = jax.jit(jax.shard_map(
+            eval_local, mesh=mesh, in_specs=(P(), P(ax)),
+            out_specs=(P(ax), P()), check_vma=False))
+    else:
+        eval_fn = jax.jit(eval_body)
 
     loader_train = DataLoader(dataset_train, args.batch_size, shuffle=True,
                               drop_last=True, num_workers=args.num_workers,
@@ -364,6 +380,12 @@ def main(argv=None):
         Image.fromarray(panel).save(d / f"e{epoch:04d}_{mode}.png")
 
     def evaluate(params_, loader, mode="val", epoch=0, save_preds=False):
+        if mesh.size > 1:
+            # host-loaded params (best-ckpt/external paths) must be
+            # replicated onto the mesh for the shard_map eval
+            from mirage_tpu.parallel.mesh import replicate
+
+            params_ = replicate(params_, mesh)
         logger = MetricLogger()
         acc = SegMetricAccumulator(args.num_classes, ignore_index=255)
         if save_preds:
@@ -372,9 +394,16 @@ def main(argv=None):
 
         step_to_save = int(np.random.default_rng(epoch).integers(0, max(len(loader), 1)))
         for step_i, (batch, _, sids) in enumerate(loader):
+            n = len(next(iter(batch.values())))
+            pad = (-n) % mesh.size  # shard_map eval needs a device multiple
+            if pad:
+                batch = {k: np.concatenate(
+                    [v, np.broadcast_to(v[:1], (pad,) + v.shape[1:])])
+                    for k, v in batch.items()}
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             pred, loss = eval_fn(params_, jb)
-            pred = np.asarray(pred)
+            pred = np.asarray(pred)[:n]
+            batch = {k: v[:n] for k, v in batch.items()}
             if not args.infer_only and step_i == step_to_save:
                 save_panel(batch, pred, epoch if isinstance(epoch, int) else 0, mode)
             if save_preds:

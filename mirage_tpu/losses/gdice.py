@@ -16,11 +16,16 @@ import jax.numpy as jnp
 
 
 def cross_entropy_loss(logits, target, *, ignore_index: Optional[int] = None,
-                       label_smoothing: float = 0.0, weights=None):
+                       label_smoothing: float = 0.0, weights=None,
+                       normalize: bool = True):
     """logits: (B, C, *spatial) f32; target: (B, *spatial) int.
     Mean over non-ignored pixels (torch CrossEntropyLoss semantics).
     weights: optional per-element weights broadcastable to target's shape
-    (e.g. zeros for batch-padding rows); loss = sum(w*nll)/sum(w)."""
+    (e.g. zeros for batch-padding rows); loss = sum(w*nll)/sum(w).
+    normalize=False returns the pair (sum(w*nll), sum(w)) instead, so a
+    data-parallel shard_map caller can psum both before dividing — the
+    per-shard weighted means do NOT recombine into the global weighted mean
+    when shards carry unequal weight totals (e.g. all the padding rows)."""
     c = logits.shape[1]
     logits = jnp.moveaxis(logits, 1, -1).astype(jnp.float32)  # (B, *s, C)
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -41,7 +46,11 @@ def cross_entropy_loss(logits, target, *, ignore_index: Optional[int] = None,
             if w.ndim == 1:  # per-sample: align to the leading batch axis
                 w = w.reshape((w.shape[0],) + (1,) * (nll.ndim - 1))
             valid = valid * jnp.broadcast_to(w, nll.shape)
+        if not normalize:
+            return jnp.sum(nll * valid), jnp.sum(valid)
         return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    if not normalize:
+        return jnp.sum(nll), jnp.asarray(float(nll.size), jnp.float32)
     return jnp.mean(nll)
 
 

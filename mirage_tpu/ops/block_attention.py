@@ -51,6 +51,8 @@ try:  # pltpu only resolves on TPU builds
 except Exception:  # pragma: no cover
     _HAVE_PLTPU = False
 
+from mirage_tpu.ops import runtime as _rt
+
 
 def _block_attn_kernel(qkv_ref, o_ref, s_scratch, *, num_heads: int,
                        dim: int, scale: float, elems: int = 1):
@@ -213,11 +215,12 @@ def _attn_xla(qkv, num_heads: int, scale: float):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _block_attn(qkv, num_heads, scale):
-    return _block_attn_fwd(qkv, num_heads, scale)
+    return _block_attn_fwd(qkv, num_heads, scale, interpret=_rt.interpret())
 
 
 def _block_attn_fwd_vjp(qkv, num_heads, scale):
-    return _block_attn_fwd(qkv, num_heads, scale), (qkv,)
+    return _block_attn_fwd(qkv, num_heads, scale,
+                           interpret=_rt.interpret()), (qkv,)
 
 
 def _block_attn_bwd_vjp(num_heads, scale, res, g):
@@ -228,7 +231,8 @@ def _block_attn_bwd_vjp(num_heads, scale, res, g):
     # WORSE at the pretraining batch (pretrain 944 -> ~880 img/s): XLA
     # materializes the (B, H, N, N) probabilities twice (fwd recompute +
     # bwd), ~1.6 GB of HBM traffic per decoder block at B=256. Kept Pallas.
-    return (_block_attn_bwd(qkv, g, num_heads, scale),)
+    return (_block_attn_bwd(qkv, g, num_heads, scale,
+                            interpret=_rt.interpret()),)
 
 
 _block_attn.defvjp(_block_attn_fwd_vjp, _block_attn_bwd_vjp)
@@ -647,13 +651,14 @@ def _attn_half_xla(x, gamma, beta, wqkv, bqkv, wproj, bproj, num_heads, scale):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _attn_half(x, gamma, beta, wqkv, bqkv, wproj, bproj, num_heads, scale):
     return _attn_half_fwd(x, gamma, beta, wqkv, bqkv, wproj, bproj,
-                          num_heads, scale)
+                          num_heads, scale, interpret=_rt.interpret())
 
 
 def _attn_half_fwd_vjp(x, gamma, beta, wqkv, bqkv, wproj, bproj, num_heads,
                        scale):
     res = (x, gamma, beta, wqkv, bqkv, wproj, bproj)
-    return _attn_half_fwd(*res, num_heads, scale), res
+    return _attn_half_fwd(*res, num_heads, scale,
+                          interpret=_rt.interpret()), res
 
 
 # Chip-A/B switch (scripts/bench_attn_bwd_regbatch.py): which backward the
@@ -669,17 +674,16 @@ _ATTN_BWD_IMPL = _env_choice("MIRAGE_ATTN_BWD", "accumulate",
 
 def _attn_half_bwd_vjp(num_heads, scale, res, g):
     x, gamma, beta, wqkv, bqkv, wproj, bproj = res
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        on_tpu = False
+    on_tpu = _rt.kernels_enabled()
     if on_tpu and _HAVE_PLTPU:
         if _ATTN_BWD_IMPL == "defused":
             dx, dg, dbe, dwqkv, dbqkv, dwp, dbp = _attn_half_bwd_defused(
-                x, g, gamma, beta, wqkv, bqkv, wproj, num_heads, scale)
+                x, g, gamma, beta, wqkv, bqkv, wproj, num_heads, scale,
+                interpret=_rt.interpret())
         else:
             dx, dg, dbe, dwqkv, dbqkv, dwp, dbp = _attn_half_bwd_pallas(
                 x, g, gamma, beta, wqkv, bqkv, wproj, num_heads, scale,
+                interpret=_rt.interpret(),
                 reg_batch=_ATTN_BWD_IMPL == "reg_batch")
         # optimization barrier: see ops/fused_mlp.py — keeps the f32 dW
         # outputs out of the caller's scoped-vmem-charged update fusion
@@ -838,13 +842,15 @@ def _xattn_half_xla(x, ctx, gq, bq, gc, bc, wq, bwq, wkv, bwkv, wproj, bproj,
 def _xattn_half(x, ctx, gq, bq, gc, bc, wq, bwq, wkv, bwkv, wproj, bproj,
                 num_heads, scale):
     return _xattn_half_fwd(x, ctx, gq, bq, gc, bc, wq, bwq, wkv, bwkv,
-                           wproj, bproj, num_heads, scale)
+                           wproj, bproj, num_heads, scale,
+                           interpret=_rt.interpret())
 
 
 def _xattn_half_fwd_vjp(x, ctx, gq, bq, gc, bc, wq, bwq, wkv, bwkv, wproj,
                         bproj, num_heads, scale):
     res = (x, ctx, gq, bq, gc, bc, wq, bwq, wkv, bwkv, wproj, bproj)
-    return _xattn_half_fwd(*res, num_heads, scale), res
+    return _xattn_half_fwd(*res, num_heads, scale,
+                           interpret=_rt.interpret()), res
 
 
 def _xattn_half_bwd_vjp(num_heads, scale, res, g):

@@ -34,6 +34,8 @@ try:  # pltpu only resolves on TPU builds
 except Exception:  # pragma: no cover
     _HAVE_PLTPU = False
 
+from mirage_tpu.ops import runtime as _rt
+
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
@@ -215,16 +217,16 @@ def _flash_bwd(q, k, v, do, sm_scale: float, interpret: bool = False):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash(q, k, v, sm_scale):
-    return _flash_fwd(q, k, v, sm_scale)
+    return _flash_fwd(q, k, v, sm_scale, interpret=_rt.interpret())
 
 
 def _flash_fwd_vjp(q, k, v, sm_scale):
-    return _flash_fwd(q, k, v, sm_scale), (q, k, v)
+    return _flash_fwd(q, k, v, sm_scale, interpret=_rt.interpret()), (q, k, v)
 
 
 def _flash_bwd_vjp(sm_scale, res, g):
     q, k, v = res
-    return _flash_bwd(q, k, v, g, sm_scale)
+    return _flash_bwd(q, k, v, g, sm_scale, interpret=_rt.interpret())
 
 
 _flash.defvjp(_flash_fwd_vjp, _flash_bwd_vjp)

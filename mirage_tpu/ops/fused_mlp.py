@@ -34,6 +34,8 @@ try:  # pltpu only resolves on TPU builds
 except Exception:  # pragma: no cover
     _HAVE_PLTPU = False
 
+from mirage_tpu.ops import runtime as _rt
+
 _SQRT2 = 1.4142135623730951
 _LOG2E = 1.4426950408889634
 
@@ -793,7 +795,8 @@ def _stash_route(x, hdim):
 
 @jax.custom_vjp
 def _mlp_block_stash(x, gamma, beta, w1, b1, w2, b2):
-    return _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2)
+    return _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2,
+                          interpret=_rt.interpret())
 
 
 def _mlp_block_stash_fwd_vjp(x, gamma, beta, w1, b1, w2, b2):
@@ -802,7 +805,8 @@ def _mlp_block_stash_fwd_vjp(x, gamma, beta, w1, b1, w2, b2):
     route = (_stash_route(x, w1.shape[-1])
              if jax.default_backend() == "tpu" and _HAVE_PLTPU else None)
     if route != "2d":
-        return _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2), \
+        return _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2,
+                              interpret=_rt.interpret()), \
             (x, gamma, beta, w1, b1, w2, b2, None, None)
     out, act, dg = _mlp_block_fwd_stash(x, gamma, beta, w1, b1, w2, b2)
     # named so a selective-remat policy CAN save the stashes: names inside
@@ -847,11 +851,13 @@ def _mlp_block_xla(x, gamma, beta, w1, b1, w2, b2):
 
 @jax.custom_vjp
 def _mlp_block(x, gamma, beta, w1, b1, w2, b2):
-    return _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2)
+    return _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2,
+                          interpret=_rt.interpret())
 
 
 def _mlp_block_fwd_vjp(x, gamma, beta, w1, b1, w2, b2):
-    return _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2), \
+    return _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2,
+                          interpret=_rt.interpret()), \
         (x, gamma, beta, w1, b1, w2, b2)
 
 
@@ -900,14 +906,11 @@ def _bwd_kernel_viable(x, d, hdim):
 
 def _mlp_block_bwd_vjp(res, g):
     x, gamma, beta, w1, b1, w2, b2 = res
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        on_tpu = False
+    on_tpu = _rt.kernels_enabled()
     if on_tpu and _HAVE_PLTPU and _bwd_kernel_viable(
             x, x.shape[-1], w1.shape[-1]):
         dx, dg, dbe, dw1, db1, dw2, db2 = _mlp_block_bwd_pallas(
-            x, g, gamma, beta, w1, b1, w2)
+            x, g, gamma, beta, w1, b1, w2, interpret=_rt.interpret())
         # keep XLA from fusing the f32 dW outputs into the caller's
         # gradient-stack update-slice: that fusion charges them to the 16 MB
         # scoped-vmem budget and fails to compile at ViT sizes
@@ -927,11 +930,13 @@ _mlp_block.defvjp(_mlp_block_fwd_vjp, _mlp_block_bwd_vjp)
 
 @jax.custom_vjp
 def _mlp_block_nores(x, gamma, beta, w1, b1, w2, b2):
-    return _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, residual=False)
+    return _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, residual=False,
+                          interpret=_rt.interpret())
 
 
 def _mlp_block_nores_fwd_vjp(x, gamma, beta, w1, b1, w2, b2):
-    return (_mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, residual=False),
+    return (_mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, residual=False,
+                           interpret=_rt.interpret()),
             (x, gamma, beta, w1, b1, w2, b2))
 
 

@@ -93,3 +93,39 @@ def shard_params(params, mesh: Mesh):
     specs = param_specs(params)
     return jax.tree_util.tree_map(
         lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs)
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully replicated on the mesh (data-parallel params)."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def is_dp_only(mesh: Mesh) -> bool:
+    """True when the mesh shards nothing but the batch (fsdp=tensor=1)."""
+    return mesh.shape.get("fsdp", 1) == 1 and mesh.shape.get("tensor", 1) == 1
+
+
+def dp_shard_map(fn, mesh: Mesh, *, n_batch_args: int, n_scalar_args: int = 0,
+                 axes=("data", "fsdp")):
+    """Data-parallel shard_map wrapper for a kernel-bearing computation.
+
+    ``fn(params, *batches, *scalars)`` runs per-device on the local batch
+    shard with params REPLICATED. This — not GSPMD — is how the Pallas
+    kernels compose with a mesh: a ``pallas_call`` whose operands carry
+    NamedShardings under plain ``jit`` is a hard Mosaic error ("cannot be
+    automatically partitioned. Please wrap the call in a shard_map"), so
+    every multi-device path that wants the fused kernels engaged must be
+    manually partitioned. Inside shard_map each program is a single-device
+    trace: the kernels launch on purely local operands, exactly as on one
+    chip. Batch args shard over ('data','fsdp'); outputs are batch-sharded.
+
+    Used by the wrapper's mesh serving and the data-parallel train step
+    (train/steps.py). GSPMD-sharded (fsdp/tensor) training instead builds
+    the model with attn_impl='xla' (see ops/runtime.py docstring).
+    """
+    from jax import shard_map
+
+    in_specs = ((P(),) + (P(axes),) * n_batch_args + (P(),) * n_scalar_args)
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=P(axes),
+                     check_vma=False)

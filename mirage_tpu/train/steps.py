@@ -75,6 +75,15 @@ def make_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
 
     state = {'params': ..., 'opt': ..., 'step': int32}
     Returns step_fn(state, batch, rng, lr, wd_scale) -> (state, metrics).
+
+    mesh routing: a data-parallel-only mesh with >1 devices gets the
+    shard_map step (params replicated per device, batch sharded, grads
+    pmean'd over the batch axes) — REQUIRED for the Pallas kernels to
+    engage multi-chip (a pallas_call with GSPMD-sharded operands is a hard
+    Mosaic error; see parallel/mesh.dp_shard_map). Meshes that shard params
+    (fsdp/tensor > 1) keep the GSPMD jit — build the model with
+    attn_impl='xla' for those. mesh=None / 1-device meshes use plain jit
+    (identical to before; the single-chip bench path is untouched).
     """
 
     def step_fn(state, batch, rng, lr, wd_scale):
@@ -90,9 +99,60 @@ def make_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
         metrics.update({f"loss_{k}": v for k, v in task_losses.items()})
         return new_state, metrics
 
+    if mesh is not None and mesh.size > 1:
+        from mirage_tpu.parallel.mesh import is_dp_only
+
+        if is_dp_only(mesh):
+            return _make_dp_train_step(loss_fn, optimizer, mesh, donate)
+
     # Sharding is data-driven: place `state` with shard_state() and `batch`
     # with shard_batch(); jit infers output shardings via GSPMD propagation.
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def _make_dp_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
+                        mesh, donate: bool):
+    """Data-parallel train step via shard_map (kernels-compatible).
+
+    Each device holds the FULL params/opt state (replicated — place the
+    state with ``parallel.mesh.replicate``, not shard_state) and computes
+    grads on its local batch shard with an rng decorrelated by
+    ``fold_in(rng, axis_index)``; grads and losses are pmean'd over the
+    batch axes and the optimizer update is computed redundantly per device
+    (bitwise-identical everywhere, so the output state stays replicated —
+    the standard dp pattern). Semantically equivalent to chunking the batch
+    over devices; NOT bitwise-equal to the global-rng GSPMD step because
+    mask draws are per-shard (tests/test_kernel_sharding.py pins the exact
+    chunked-reference equivalence).
+    """
+    from jax import shard_map
+
+    axes = ("data", "fsdp")
+
+    def local_step(state, batch, rng, lr, wd_scale):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axes))
+
+        def wrapped(params, batch, rng):
+            return loss_fn(optimizer.stop_frozen(params), batch, rng)
+
+        (loss, task_losses), grads = jax.value_and_grad(wrapped, has_aux=True)(
+            state["params"], batch, rng)
+        loss, task_losses, grads = jax.lax.pmean(
+            (loss, task_losses, grads), axes)
+        params, opt_state, gnorm = optimizer.update(
+            grads, state["opt"], state["params"], lr, wd_scale)
+        new_state = {"params": params, "opt": opt_state,
+                     "step": state["step"] + 1}
+        metrics = {"loss": loss, "grad_norm": gnorm}
+        metrics.update({f"loss_{k}": v for k, v in task_losses.items()})
+        return new_state, metrics
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(axes), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def init_train_state(params, optimizer: GroupedOptimizer):
@@ -102,7 +162,14 @@ def init_train_state(params, optimizer: GroupedOptimizer):
 
 def shard_state(state, mesh):
     """Place the train state on the mesh: params (and adam moments) per
-    param_specs, scalars replicated."""
+    param_specs, scalars replicated. Data-parallel-only meshes replicate
+    everything (the shard_map dp step needs whole-param programs per
+    device; param_specs' size-1 fsdp/tensor axes would be equivalent, but
+    explicit replication keeps the placement obvious)."""
+    from mirage_tpu.parallel.mesh import is_dp_only, replicate
+
+    if mesh.size > 1 and is_dp_only(mesh):
+        return replicate(state, mesh)
     pspecs = param_specs(state["params"])
 
     def place(tree, specs):

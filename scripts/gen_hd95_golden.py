@@ -1,0 +1,179 @@
+"""Generate tests/golden/hd95_golden.json (VERDICT r3 missing #2).
+
+The reference computes HD95 with MONAI (run_seg_eval.py:73-100:
+``monai.metrics.compute_hausdorff_distance`` on one-hot (1,2,H,W) pairs,
+percentile=95, symmetric, empty-set policy applied OUTSIDE monai). MONAI is
+not installed in this image, so the golden is produced by whichever oracle
+is available, recorded in the file's "oracle" field:
+
+- "monai": the real thing — run this script anywhere MONAI exists
+  (``pip install monai && python scripts/gen_hd95_golden.py``) and commit
+  the regenerated file; values should be identical (rtol 1e-6).
+- "numpy-bruteforce": an implementation of MONAI's documented algorithm
+  that shares NO code with mirage_tpu/metrics/volume.py (no scipy): surface
+  = mask minus its connectivity-1 erosion (border_value=0), directed
+  distance = exact brute-force nearest-euclidean from each source surface
+  pixel to the destination surface point set, HD = max of the two
+  ``np.percentile(..., 95)`` values. Same math, independent code path —
+  it cross-checks our scipy EDT/erosion usage, percentile orientation and
+  symmetry exactly.
+
+The per-slice/per-case expectations pin every branch: both-empty -> 0,
+one-empty -> NaN (or diagonal when empty_sets_nan=False), border-touching
+masks, single-pixel masks, sub-20-point percentile interpolation.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+
+def _erode_conn1(m: np.ndarray) -> np.ndarray:
+    """Binary erosion, plus-shaped (connectivity-1) structure, border_value=0
+    — pure numpy (pad with zeros, AND of the 5 shifts)."""
+    p = np.pad(m.astype(bool), 1, constant_values=False)
+    return (p[1:-1, 1:-1] & p[:-2, 1:-1] & p[2:, 1:-1]
+            & p[1:-1, :-2] & p[1:-1, 2:])
+
+
+def _surface_pts(m: np.ndarray) -> np.ndarray:
+    m = m.astype(bool)
+    edges = m & ~_erode_conn1(m)
+    return np.argwhere(edges).astype(np.float64)
+
+
+def _directed_p(src: np.ndarray, dst: np.ndarray, percentile: float) -> float:
+    # exact nearest-euclidean per src point, brute force
+    d2 = ((src[:, None, :] - dst[None, :, :]) ** 2).sum(-1)
+    return float(np.percentile(np.sqrt(d2.min(axis=1)), percentile))
+
+
+def hd95_numpy(pred: np.ndarray, true: np.ndarray,
+               percentile: float = 95.0) -> float:
+    sp, st = _surface_pts(pred), _surface_pts(true)
+    return max(_directed_p(sp, st, percentile), _directed_p(st, sp, percentile))
+
+
+def hd95_monai(pred: np.ndarray, true: np.ndarray,
+               percentile: float = 95.0) -> float:
+    """Exactly the reference's call (run_seg_eval.py:94-98)."""
+    from monai.metrics import compute_hausdorff_distance
+
+    def to_one_hot(y, num_classes=2):
+        oh = np.zeros((num_classes,) + y.shape, dtype=np.float32)
+        for i in range(num_classes):
+            oh[i] = y == i
+        return oh[np.newaxis]
+
+    return float(compute_hausdorff_distance(
+        to_one_hot(pred), to_one_hot(true), percentile=percentile).item())
+
+
+# ---------------------------------------------------------------------------
+# Fixed cases
+# ---------------------------------------------------------------------------
+
+def _blob(h, w, cy, cx, r):
+    yy, xx = np.mgrid[:h, :w]
+    return ((yy - cy) ** 2 + (xx - cx) ** 2 <= r * r).astype(np.int32)
+
+
+def slice_cases():
+    cases = {}
+    cases["shifted_squares"] = (_rect(32, 32, 4, 4, 12, 12),
+                                _rect(32, 32, 9, 11, 17, 19))
+    cases["concentric_blobs"] = (_blob(48, 48, 24, 24, 15),
+                                 _blob(48, 48, 24, 24, 8))
+    cases["disjoint_blobs"] = (_blob(40, 40, 10, 10, 5),
+                               _blob(40, 40, 30, 30, 6))
+    cases["border_touching"] = (_rect(24, 24, 0, 0, 10, 24),
+                                _rect(24, 24, 14, 0, 24, 24))
+    cases["single_pixels"] = (_pt(16, 16, 2, 3), _pt(16, 16, 12, 9))
+    cases["few_points_interp"] = (_rect(20, 20, 5, 5, 8, 8),
+                                  _rect(20, 20, 6, 6, 9, 9))
+    g = np.random.default_rng(42)
+    noisy_a = (g.random((64, 64)) > 0.82).astype(np.int32)
+    noisy_b = (g.random((64, 64)) > 0.82).astype(np.int32)
+    cases["random_scatter"] = (noisy_a, noisy_b)
+    ramp = np.tri(30, 30, 5, dtype=np.int32)
+    cases["triangle_vs_blob"] = (ramp, _blob(30, 30, 15, 15, 10))
+    return cases
+
+
+def _rect(h, w, y0, x0, y1, x1):
+    m = np.zeros((h, w), np.int32)
+    m[y0:y1, x0:x1] = 1
+    return m
+
+
+def _pt(h, w, y, x):
+    m = np.zeros((h, w), np.int32)
+    m[y, x] = 1
+    return m
+
+
+def volume_cases():
+    """(S, H, W) stacks exercising the reference's empty-set policy."""
+    g = np.random.default_rng(7)
+    s0p, s0t = _blob(24, 24, 12, 12, 6), _blob(24, 24, 10, 12, 7)
+    empty = np.zeros((24, 24), np.int32)
+    rnd_p = (g.random((24, 24)) > 0.7).astype(np.int32)
+    return {
+        "mixed_policy": (np.stack([s0p, empty, rnd_p, empty]),
+                         np.stack([s0t, empty, empty, _pt(24, 24, 5, 5)])),
+        "all_empty": (np.stack([empty, empty]), np.stack([empty, empty])),
+        "one_empty_pair": (np.stack([empty]), np.stack([s0t])),
+    }
+
+
+def main():
+    try:
+        oracle_fn, oracle = hd95_monai, "monai"
+    except Exception:  # pragma: no cover
+        oracle_fn, oracle = hd95_numpy, "numpy-bruteforce"
+    try:
+        import monai  # noqa: F401
+    except ImportError:
+        oracle_fn, oracle = hd95_numpy, "numpy-bruteforce"
+
+    out = {"oracle": oracle, "percentile": 95.0, "slices": {}, "volumes": {}}
+    for name, (p, t) in slice_cases().items():
+        out["slices"][name] = oracle_fn(p, t)
+
+    # volume-level expectations use the reference's own policy wrapper
+    # (run_seg_eval.py:73-100) around the per-slice oracle
+    for name, (p, t) in volume_cases().items():
+        for empty_nan in (True, False):
+            vals = []
+            for i in range(p.shape[0]):
+                pe = np.unique(p[i]).size == 1
+                te = np.unique(t[i]).size == 1
+                if pe and te:
+                    vals.append(0.0)
+                elif pe or te:
+                    vals.append(np.nan if empty_nan else float(
+                        np.sqrt(t[i].shape[0] ** 2 + t[i].shape[1] ** 2)))
+                else:
+                    vals.append(oracle_fn(p[i], t[i]))
+            key = f"{name}/empty_sets_nan={empty_nan}"
+            v = np.nanmean(vals)
+            out["volumes"][key] = None if np.isnan(v) else float(v)
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "golden", "hd95_golden.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"wrote {path} (oracle={oracle})")
+
+
+if __name__ == "__main__":
+    main()

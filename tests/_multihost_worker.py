@@ -27,6 +27,75 @@ class SynthRegression:
         return {"x": x, "y": y}
 
 
+class SynthMirage:
+    """16 deterministic three-modality pretraining samples shared by every
+    process (real-model multi-host test, VERDICT r3 weak #4)."""
+
+    def __len__(self):
+        return 16
+
+    def __getitem__(self, item):
+        i, _rng = item if isinstance(item, tuple) else (item, None)
+        g = np.random.default_rng(2000 + int(i))
+        return {
+            "bscan": g.random((1, 128, 128)).astype(np.float32),
+            "slo": g.random((1, 128, 128)).astype(np.float32),
+            "bscanlayermap": g.integers(0, 13, (32, 32)).astype(np.int32),
+        }
+
+
+def main_mirage(port: str, pid: int):
+    """Two-process dp shard_map pretraining step on a REAL tiny MIRAGEModel
+    (Dirichlet masking, three adapters, masked MSE+CE, AdamW): the
+    process_count()>1 branch with the actual model pytree. The same step on
+    a single 8-virtual-device process is bitwise-comparable (the dp step's
+    fold_in(axis_index) draws don't depend on the process layout)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=2, process_id=pid)
+    assert jax.process_count() == 2 and jax.device_count() == 8
+
+    import os
+    import sys
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_parallel import DOMAIN_CONF, tiny_pretrain_model
+
+    from mirage_tpu.data.loader import DataLoader
+    from mirage_tpu.parallel.mesh import make_mesh
+    from mirage_tpu.train.optim import OptimizerConfig, create_optimizer
+    from mirage_tpu.train.steps import (init_train_state, make_pretrain_loss,
+                                        make_train_step, shard_batch,
+                                        shard_state)
+
+    mesh = make_mesh()  # dp over all 8 global devices -> shard_map step
+    loader = DataLoader(SynthMirage(), batch_size=8, shuffle=False,
+                        num_workers=1, shard_index=pid, num_shards=2)
+    local = next(iter(loader))
+    assert local["bscan"].shape == (8, 1, 128, 128)
+
+    model = tiny_pretrain_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt = create_optimizer(OptimizerConfig(opt="adamw", weight_decay=0.05,
+                                           clip_grad=1.0))
+    loss_fn = make_pretrain_loss(model, DOMAIN_CONF, num_encoded_tokens=12)
+    step = make_train_step(loss_fn, opt, mesh=mesh, donate=False)
+    state = shard_state(init_train_state(params, opt), mesh)
+    gbatch = shard_batch(local, mesh)  # process_count()>1 branch
+    assert gbatch["bscan"].shape == (16, 1, 128, 128)  # logically global
+    with mesh:
+        state, metrics = step(state, gbatch, jax.random.PRNGKey(0), 1e-4, 1.0)
+    print(f"LOSS {float(metrics['loss']):.8f}", flush=True)
+    print(f"GNORM {float(metrics['grad_norm']):.8f}", flush=True)
+    leaf = np.asarray(jax.device_get(
+        state["params"]["encoder"]["attn"]["qkv"]["w"]))
+    print(f"W0 {float(leaf.ravel()[0]):.8f}", flush=True)
+
+
 def main(port: str, pid: int):
     import jax
 
@@ -73,7 +142,8 @@ if __name__ == "__main__":
     import sys
 
     port, pid = sys.argv[1], int(sys.argv[2])
+    mode = sys.argv[3] if len(sys.argv) > 3 else "synth"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     os.environ["JAX_PLATFORMS"] = "cpu"
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    main(port, pid)
+    (main_mirage if mode == "mirage" else main)(port, pid)

@@ -143,3 +143,38 @@ def test_cls_metrics(rng):
     m = compute_cls_metrics(y, probs)
     assert m["bacc"] == 1.0 and m["f1"] == 1.0 and m["mcc"] == 1.0
     np.testing.assert_allclose(m["auroc"], 1.0)
+
+
+def test_hd95_matches_pinned_golden():
+    """metrics/volume.py vs the committed oracle golden
+    (tests/golden/hd95_golden.json, generated by scripts/gen_hd95_golden.py
+    — real MONAI where available, else an independent no-scipy brute-force
+    implementation of MONAI's documented algorithm; VERDICT r3 missing #2).
+    Pins the surface-extraction/EDT/percentile math AND the reference's
+    empty-set policy (run_seg_eval.py:73-100) at rtol 1e-6."""
+    import json
+    from pathlib import Path
+
+    import sys
+    sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+    from gen_hd95_golden import slice_cases, volume_cases
+
+    from mirage_tpu.metrics.volume import (hausdorff_distance_95,
+                                           volume_hausdorff_distance)
+
+    golden = json.loads(
+        (Path(__file__).parent / "golden" / "hd95_golden.json").read_text())
+    for name, (p, t) in slice_cases().items():
+        got = hausdorff_distance_95(p, t, percentile=golden["percentile"])
+        np.testing.assert_allclose(got, golden["slices"][name], rtol=1e-6,
+                                   err_msg=f"slice case {name}")
+    for name, (p, t) in volume_cases().items():
+        for empty_nan in (True, False):
+            want = golden["volumes"][f"{name}/empty_sets_nan={empty_nan}"]
+            got = volume_hausdorff_distance(p, t, empty_sets_nan=empty_nan)
+            if want is None:
+                assert np.isnan(got), f"{name} empty_nan={empty_nan}"
+            else:
+                np.testing.assert_allclose(
+                    got, want, rtol=1e-6,
+                    err_msg=f"volume case {name} empty_nan={empty_nan}")
