@@ -247,6 +247,17 @@ def main(argv=None):
 
     args.model = pick_model_from_weights(args)
     model = build_model(args)
+    if mesh.size > 1 and (args.mesh_fsdp > 1 or args.mesh_tensor > 1):
+        # GSPMD-sharded params: the fused kernels cannot engage (a
+        # pallas_call with sharded operands is a hard Mosaic error, and
+        # in-kernel LN/matmuls can't span a sharded D) — force the XLA
+        # compute path up front instead of failing at compile
+        import dataclasses
+
+        if model.attn_impl != "xla":
+            print(">> fsdp/tensor-sharded mesh: forcing attn_impl='xla' "
+                  "(fused kernels require shard_map — parallel/mesh.py)")
+            model = dataclasses.replace(model, attn_impl="xla")
     params = model.init_params(jax.random.PRNGKey(args.seed))
 
     total_tokens = sum(

@@ -54,3 +54,30 @@ def test_pretraining_cli_runs_and_resumes(tmp_path):
     assert 1 in epochs_logged and epochs_logged.count(0) == 1, (
         "resume should continue at epoch 1 without re-running epoch 0: "
         f"{epochs_logged}")
+
+
+def test_pretraining_cli_gspmd_mesh(tmp_path):
+    """--mesh_fsdp/--mesh_tensor route the step through GSPMD with the
+    fused kernels forced OFF (attn_impl='xla' — a pallas_call with sharded
+    operands is a hard Mosaic error; the dp path uses shard_map instead)."""
+    from mirage_tpu.cli import run_pretraining
+
+    rng = np.random.default_rng(1)
+    data = tmp_path / "data"
+    _make_data(data, rng)
+    out = tmp_path / "out"
+    run_pretraining.main([
+        "--in_domains", "bscan-slo-bscanlayermap",
+        "--out_domains", "bscan-slo-bscanlayermap",
+        "--model", "miragepre_tiny", "--decoder_dim", "64",
+        "--decoder_depth", "1", "--decoder_num_heads", "4",
+        "--input_size", "64", "--patch_size", "8",
+        "--num_encoded_tokens", "48",
+        "--warmup_epochs", "1", "--batch_size", "8", "--lr", "1e-3",
+        "--save_ckpt_freq", "1", "--num_workers", "0", "--use_cache",
+        "--dtype", "float32", "--data_path", str(data),
+        "--output_dir", str(out),
+        "--mesh_fsdp", "2", "--mesh_tensor", "2", "--epochs", "1",
+    ])
+    log = (out / "log.txt").read_text().strip().splitlines()
+    assert np.isfinite(json.loads(log[-1])["train_loss"])
