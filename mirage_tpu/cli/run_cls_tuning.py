@@ -228,9 +228,9 @@ def main(argv=None):
             in_specs=(P(), P(ax), P(ax), P(ax), P(), P()),
             out_specs=(P(), P(), P(ax), P()), check_vma=False),
             donate_argnums=(0,))
-        eval_step = jax.jit(jax.shard_map(
-            eval_body, mesh=mesh, in_specs=(P(), P(ax)),
-            out_specs=(P(ax), P(ax)), check_vma=False))
+        from mirage_tpu.parallel.mesh import dp_shard_map
+
+        eval_step = jax.jit(dp_shard_map(eval_body, mesh, n_batch_args=1))
     else:
         train_step = jax.jit(train_body, donate_argnums=(0,))
         eval_step = jax.jit(eval_body)

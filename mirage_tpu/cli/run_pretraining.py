@@ -244,6 +244,12 @@ def main(argv=None):
     ndev = jax.device_count()
     mesh = make_mesh({"data": ndev // (args.mesh_fsdp * args.mesh_tensor),
                       "fsdp": args.mesh_fsdp, "tensor": args.mesh_tensor})
+    n_batch_shards = mesh.shape["data"] * mesh.shape["fsdp"]
+    if args.batch_size % n_batch_shards:
+        sys.exit(f"--batch_size {args.batch_size} must be divisible by the "
+                 f"{n_batch_shards} batch-sharding devices (data x fsdp) — "
+                 f"both the shard_map dp step and NamedSharding placement "
+                 f"need even shards")
 
     args.model = pick_model_from_weights(args)
     model = build_model(args)
@@ -323,7 +329,10 @@ def main(argv=None):
             print(f">> Resumed from epoch {start_epoch}")
     state = shard_state(state, mesh)
 
-    save_args(args.output_dir, args)
+    # multi-host: only process 0 writes shared-output_dir artifacts
+    is_writer = jax.process_index() == 0
+    if is_writer:
+        save_args(args.output_dir, args)
     trainable, total = opt.count_trainable(state["params"])
     print(f"Params: {total / 1e6:.1f}M ({trainable / 1e6:.1f}M trainable)")
 
@@ -356,7 +365,11 @@ def main(argv=None):
                     print(f"Loss is {host['loss']}, stopping training")
                     sys.exit(1)
                 logger.update(lr=float(lr_sched[min(it, len(lr_sched) - 1)]), **host)
-            if args.debug_images and step == 0 and epoch % 20 == 0:
+            if (args.debug_images and step == 0 and epoch % 20 == 0
+                    and jax.process_count() == 1):
+                # multi-host: the global batch spans non-addressable devices
+                # (device_get would raise) and PNGs are a single-host debug
+                # aid — skip rather than crash
                 if debug_fwd is None:
                     debug_fwd = jax.jit(lambda p, b, r: model(
                         p, b, mask_inputs=True,
@@ -376,17 +389,23 @@ def main(argv=None):
             it += 1
         stack.close()  # flush the profiler trace for the profiled epoch
 
-        if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
+        if ((epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs) \
+                and is_writer:
+            # dp state is replicated (locally addressable on every host);
+            # process 0 alone writes to the shared output_dir — concurrent
+            # orbax writes / log appends corrupt the artifacts
             host_state = jax.device_get(state)
             ckpt.save_checkpoint(args.output_dir, host_state, epoch, args=vars(args))
-        append_log(args.output_dir, {
-            "epoch": epoch,
-            **{f"train_{k}": m.global_avg for k, m in logger.meters.items()},
-        })
+        if is_writer:
+            append_log(args.output_dir, {
+                "epoch": epoch,
+                **{f"train_{k}": m.global_avg for k, m in logger.meters.items()},
+            })
 
     total_time = time.time() - t_start
-    with open(os.path.join(args.output_dir, "training_time.txt"), "w") as f:
-        f.write(f"{total_time}\n")
+    if is_writer:
+        with open(os.path.join(args.output_dir, "training_time.txt"), "w") as f:
+            f.write(f"{total_time}\n")
     print(f"Training done in {total_time:.1f}s")
     return state
 

@@ -287,6 +287,9 @@ def main(argv=None):
         learnable_pos_emb=args.learnable_pos_emb))
 
     mesh = make_mesh()
+    if args.batch_size % mesh.size:
+        sys.exit(f"--batch_size {args.batch_size} must be divisible by the "
+                 f"{mesh.size} devices (shard_map dp step needs even shards)")
     return_all_layers = args.output_adapter == "dpt"
     criterion = make_criterion(args)
 
@@ -411,7 +414,11 @@ def main(argv=None):
                     Image.fromarray(lut[pred[i]]).save(preds_dir / f"{sid}.png")
             if not args.infer_only:
                 acc.update(pred, np.asarray(batch["semseg"]))
-                logger.update(loss=float(loss))
+                if pad == 0:
+                    # the pmean'd loss of a padded batch includes the
+                    # duplicate rows — skip it for the (logging-only) loss
+                    # meter; mIoU/Dice come from the exactly-sliced preds
+                    logger.update(loss=float(loss))
         if args.infer_only:
             print("Inference done. Exiting...")
             sys.exit(0)

@@ -802,8 +802,14 @@ def _mlp_block_stash(x, gamma, beta, w1, b1, w2, b2):
 def _mlp_block_stash_fwd_vjp(x, gamma, beta, w1, b1, w2, b2):
     from jax.ad_checkpoint import checkpoint_name
 
+    # the stash kernels are gated to COMPILED TPU paths only: in interpret
+    # mode they'd silently launch real Mosaic kernels on a TPU host,
+    # breaking the MIRAGE_PALLAS=interpret contract — route None falls back
+    # to the recompute backward, which interpret-mode does cover
     route = (_stash_route(x, w1.shape[-1])
-             if jax.default_backend() == "tpu" and _HAVE_PLTPU else None)
+             if (_rt.kernels_enabled() and not _rt.interpret()
+                 and jax.default_backend() == "tpu" and _HAVE_PLTPU)
+             else None)
     if route != "2d":
         return _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2,
                               interpret=_rt.interpret()), \

@@ -170,6 +170,16 @@ def shard_state(state, mesh):
 
     if mesh.size > 1 and is_dp_only(mesh):
         return replicate(state, mesh)
+    if mesh.size > 1:
+        from mirage_tpu.ops import runtime
+
+        if runtime.kernels_enabled():
+            # GSPMD param sharding + fused kernels = hard Mosaic error at
+            # compile; the model must be built with attn_impl='xla' (the
+            # pretraining CLI does this automatically)
+            print("shard_state: fsdp/tensor-sharded mesh with kernels "
+                  "enabled — ensure the model uses attn_impl='xla' "
+                  "(parallel/mesh.py docstring)", flush=True)
     pspecs = param_specs(state["params"])
 
     def place(tree, specs):

@@ -136,11 +136,9 @@ def volume_cases():
 
 def main():
     try:
-        oracle_fn, oracle = hd95_monai, "monai"
-    except Exception:  # pragma: no cover
-        oracle_fn, oracle = hd95_numpy, "numpy-bruteforce"
-    try:
         import monai  # noqa: F401
+
+        oracle_fn, oracle = hd95_monai, "monai"
     except ImportError:
         oracle_fn, oracle = hd95_numpy, "numpy-bruteforce"
 
