@@ -127,7 +127,6 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -139,9 +138,13 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     e = jnp.exp2((s - m) * _LOG2E)
     p = e / jnp.sum(e, axis=-1, keepdims=True)  # (bq, nk) f32
 
+    # dO/V stay in their input dtype: bf16 values are exact in f32, and the
+    # MXU accumulates in f32 regardless — identical numerics to an upcast
+    # dot, but Mosaic emits one bf16 matmul pass instead of a multi-pass
+    # f32 one (the f32 dP dot was ~25% of this kernel by floor arithmetic)
     dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (bq, nk)
+        do_ref[0], v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (bq, nk) f32
     delta = jnp.sum(p * dp, axis=-1, keepdims=True)
     ds = p * (dp - delta) * scale  # (bq, nk) f32
 

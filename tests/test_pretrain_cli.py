@@ -81,3 +81,20 @@ def test_pretraining_cli_gspmd_mesh(tmp_path):
     ])
     log = (out / "log.txt").read_text().strip().splitlines()
     assert np.isfinite(json.loads(log[-1])["train_loss"])
+
+
+def test_pretraining_cli_rejects_indivisible_batch(tmp_path):
+    """Uneven batch shards are a startup error, not a mid-run crash: the
+    guard fires right after mesh construction (8 virtual devices here),
+    before any data or model work."""
+    import pytest
+
+    from mirage_tpu.cli import run_pretraining
+
+    with pytest.raises(SystemExit, match="divisible"):
+        run_pretraining.main([
+            "--in_domains", "bscan", "--out_domains", "bscan",
+            "--model", "miragepre_tiny", "--batch_size", "7",
+            "--data_path", str(tmp_path / "missing"),
+            "--output_dir", str(tmp_path / "out"),
+        ])
