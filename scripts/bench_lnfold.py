@@ -24,6 +24,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from mirage_tpu.cli.config import apply_platform_env
+
+apply_platform_env()  # JAX_PLATFORMS=cpu for the interpret-mode smoke
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -36,8 +40,16 @@ from mirage_tpu.ops.fused_mlp import _erf, _mlp_block_fwd
 _SQRT2 = 1.4142135623730951
 _LOG2E = 1.4426950408889634
 
-B, N, D, H = 128, 257, 1024, 16  # batch sized for quick per-layer timing
+# Flagship defaults; env knobs exist so the kernels can be smoke-run in the
+# Pallas interpreter on CPU before burning a chip window (LNFOLD_INTERPRET=1
+# LNFOLD_B=2 LNFOLD_N=65 LNFOLD_D=128 LNFOLD_H=4 python scripts/bench_lnfold.py).
+B = int(os.environ.get("LNFOLD_B", 128))
+N = int(os.environ.get("LNFOLD_N", 257))
+D = int(os.environ.get("LNFOLD_D", 1024))
+H = int(os.environ.get("LNFOLD_H", 16))
 HDIM = 4 * D
+ITERS = int(os.environ.get("LNFOLD_ITERS", 30))
+INTERPRET = os.environ.get("LNFOLD_INTERPRET", "0") == "1"
 
 
 def _ln(x32, g_ref, b_ref):
@@ -86,6 +98,7 @@ def mlp_lnfold(x, gamma, beta, w1, b1, w2, b2, gn, bn):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=INTERPRET,
     )(x, *flat)
 
 
@@ -145,6 +158,7 @@ def attn_prenormed(x, y, wqkv, bqkv, wproj, bproj):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=INTERPRET,
     )(x, y, *flat)
 
 
@@ -167,9 +181,10 @@ def main():
     # A: current pair — mlp_block (with residual) then attn_half (does LN)
     @jax.jit
     def pair_a(x):
-        h = _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2)
+        h = _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2,
+                           interpret=INTERPRET)
         return _attn_half_fwd(h, gn, bn, wqkv, bqkv, wproj, bproj, H,
-                              (D // H) ** -0.5)
+                              (D // H) ** -0.5, interpret=INTERPRET)
 
     # B: folded pair — mlp emits (out, LN_next(out)); attn takes both
     @jax.jit
@@ -183,7 +198,7 @@ def main():
     denom = np.abs(a).max()
     print(f"max rel diff A vs B: {np.abs(a - b).max() / denom:.3e}")
 
-    def bench(f, iters=30):
+    def bench(f, iters=ITERS):
         out = f(x)
         float(jnp.sum(out.astype(jnp.float32)))  # sync (tunnel: host read)
         t0 = time.perf_counter()

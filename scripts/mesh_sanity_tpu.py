@@ -16,11 +16,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from mirage_tpu.cli.config import apply_platform_env
+
+apply_platform_env()  # JAX_PLATFORMS=cpu + MIRAGE_PALLAS=interpret = CPU smoke
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from __graft_entry__ import _build_mirage
+
+# Chip defaults; env knobs so the whole script can be smoke-run on the CPU
+# mesh (tiny preset, interpret kernels) before burning a chip window.
+PRESET = os.environ.get("MESH_SANITY_PRESET", "large")
+IMG = int(os.environ.get("MESH_SANITY_IMG", 512))
+BPD = int(os.environ.get("MESH_SANITY_BPD", 8))  # serving batch per device
+ITERS = int(os.environ.get("MESH_SANITY_ITERS", 6))
 
 
 def main():
@@ -37,24 +48,25 @@ def main():
     mesh = make_mesh({"data": n}, devices=devs)
 
     # (a) serving: flagship-shape forward, kernels engaged, inside shard_map
-    model = _build_mirage("large", img=512, layermap=128,
+    model = _build_mirage(PRESET, img=IMG, layermap=IMG // 4,
                           compute_dtype=jnp.bfloat16)
     params = model.init_params(jax.random.PRNGKey(0))
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         params)
-    b = 8 * n
+    b = BPD * n
+    npt = (IMG // 32) ** 2  # all tasks share the 16x16 grid at IMG=512
     rng = np.random.default_rng(0)
-    x = {"bscan": jnp.asarray(rng.random((b, 1, 512, 512)), jnp.float32),
-         "slo": jnp.zeros((b, 1, 512, 512), jnp.float32),
-         "bscanlayermap": jnp.zeros((b, 128, 128), jnp.int32)}
-    masks = {"bscan": jnp.zeros((b, 256), jnp.int32),
-             "slo": jnp.ones((b, 256), jnp.int32),
-             "bscanlayermap": jnp.ones((b, 256), jnp.int32)}
+    x = {"bscan": jnp.asarray(rng.random((b, 1, IMG, IMG)), jnp.float32),
+         "slo": jnp.zeros((b, 1, IMG, IMG), jnp.float32),
+         "bscanlayermap": jnp.zeros((b, IMG // 4, IMG // 4), jnp.int32)}
+    masks = {"bscan": jnp.zeros((b, npt), jnp.int32),
+             "slo": jnp.ones((b, npt), jnp.int32),
+             "bscanlayermap": jnp.ones((b, npt), jnp.int32)}
 
     def fwd(p, x, masks):
         preds, _ = model(p, x, mask_inputs=False, task_masks=masks,
-                         num_visible=256, deterministic=True,
+                         num_visible=npt, deterministic=True,
                          absent_tasks=("slo", "bscanlayermap"))
         return preds
 
@@ -72,12 +84,17 @@ def main():
     t0 = time.time()
     got = sm(replicate(params, mesh), place(x), place(masks))
     got_b = np.asarray(got["bscan"].astype(jnp.float32))
+    # Norm-relative: the kernels route by LOCAL batch (elems/block pickers),
+    # so per-device accumulation order differs from the full-batch plain jit
+    # — bf16-ULP-level diffs are expected, not a correctness signal.
+    rel = np.abs(got_b - ref_b).max() / (1e-3 + np.abs(ref_b).max())
     print(f"shard_map forward ok ({time.time()-t0:.1f}s compile+run); "
-          f"max|diff| vs plain jit = {np.abs(got_b - ref_b).max():.3e}")
-    assert np.allclose(got_b, ref_b, atol=1e-2), "serving mismatch"
+          f"max|diff| vs plain jit = {np.abs(got_b - ref_b).max():.3e} "
+          f"(norm-rel {rel:.3e}, max|ref| {np.abs(ref_b).max():.3e})")
+    assert rel < 3e-2, "serving mismatch"
 
     # quick relative timing (serving overhead of the shard_map wrapper)
-    def timeit(f, *a, iters=6):
+    def timeit(f, *a, iters=ITERS):
         acc = None
         out = f(*a)  # warm
         jax.tree_util.tree_map(lambda v: v.block_until_ready(), out)
@@ -96,7 +113,8 @@ def main():
           f"{t_sm*1e3:.1f} ms (batch {b})")
 
     # (b) one dp shard_map pretrain step with kernels engaged
-    tr = _build_mirage("base", img=128, layermap=32)
+    tr = _build_mirage(os.environ.get("MESH_SANITY_TRAIN_PRESET", "base"),
+                       img=128, layermap=32)
     tp = tr.init_params(jax.random.PRNGKey(1))
     opt = create_optimizer(OptimizerConfig(
         opt="adamw", betas=(0.9, 0.95), weight_decay=0.05, clip_grad=1.0,
