@@ -52,6 +52,7 @@ except Exception:  # pragma: no cover
     _HAVE_PLTPU = False
 
 from mirage_tpu.ops import runtime as _rt
+from mirage_tpu.ops.fused_mlp import _pad8
 
 
 def _block_attn_kernel(qkv_ref, o_ref, s_scratch, *, num_heads: int,
@@ -563,9 +564,9 @@ def _attn_half_bwd_dx_kernel(x_ref, dy_ref, g_ref, be_ref, wqkv_ref,
         dg_acc = dg if dg_acc is None else dg_acc + dg
         dbe_acc = dbe if dbe_acc is None else dbe_acc + dbe
         dbq_acc = dbq if dbq_acc is None else dbq_acc + dbq
-    dgp_ref[...] = dg_acc
-    dbp_ref[...] = dbe_acc
-    dbqkvp_ref[...] = dbq_acc
+    dgp_ref[...] = _pad8(dg_acc)
+    dbp_ref[...] = _pad8(dbe_acc)
+    dbqkvp_ref[...] = _pad8(dbq_acc)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
@@ -598,9 +599,9 @@ def _attn_half_bwd_defused(x, dy, gamma, beta, wqkv, bqkv, wproj,
                    jax.ShapeDtypeStruct((b, n, d), x.dtype),
                    jax.ShapeDtypeStruct((b, n, 3 * d), x.dtype),
                    jax.ShapeDtypeStruct((b, n, d), x.dtype),
-                   jax.ShapeDtypeStruct((grid, d), jnp.float32),
-                   jax.ShapeDtypeStruct((grid, d), jnp.float32),
-                   jax.ShapeDtypeStruct((grid, 3 * d), jnp.float32)],
+                   jax.ShapeDtypeStruct((grid * 8, d), jnp.float32),
+                   jax.ShapeDtypeStruct((grid * 8, d), jnp.float32),
+                   jax.ShapeDtypeStruct((grid * 8, 3 * d), jnp.float32)],
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((elems, n, d), lambda i: (i, 0, 0)),
@@ -613,9 +614,9 @@ def _attn_half_bwd_defused(x, dy, gamma, beta, wqkv, bqkv, wproj,
                    pl.BlockSpec((elems, n, d), lambda i: (i, 0, 0)),
                    pl.BlockSpec((elems, n, 3 * d), lambda i: (i, 0, 0)),
                    pl.BlockSpec((elems, n, d), lambda i: (i, 0, 0)),
-                   pl.BlockSpec((1, d), lambda i: (i, 0)),
-                   pl.BlockSpec((1, d), lambda i: (i, 0)),
-                   pl.BlockSpec((1, 3 * d), lambda i: (i, 0))],
+                   pl.BlockSpec((8, d), lambda i: (i, 0)),
+                   pl.BlockSpec((8, d), lambda i: (i, 0)),
+                   pl.BlockSpec((8, 3 * d), lambda i: (i, 0))],
         scratch_shapes=[pltpu.VMEM((n, d), x.dtype),
                         pltpu.VMEM((num_heads, n, n), jnp.float32),
                         pltpu.VMEM((num_heads, n, n), jnp.float32)]

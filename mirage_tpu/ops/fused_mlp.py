@@ -432,6 +432,14 @@ def _mlp_block_bwd_pallas(x, dy, gamma, beta, w1, b1, w2, interpret=False):
 # ---------------------------------------------------------------------------
 
 
+def _pad8(row):
+    """(1, k) f32 partial -> (8, k) slot (row 0 = value, rows 1-7 = 0).
+    Mosaic requires output blocks' second-to-last dim divisible by 8; the
+    zero rows vanish in the axis-0 reducing sum outside the kernel."""
+    return jnp.concatenate(
+        [row, jnp.zeros((7, row.shape[-1]), row.dtype)], axis=0)
+
+
 def _mlp_bwd_dx_kernel(x_ref, dy_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
                        dx_ref, dh_ref, y_ref, act_ref, dgp_ref, dbp_ref,
                        db1p_ref):
@@ -442,9 +450,9 @@ def _mlp_bwd_dx_kernel(x_ref, dy_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
     dh_ref[...] = dh_c
     y_ref[...] = y
     act_ref[...] = act
-    dgp_ref[...] = dgamma
-    dbp_ref[...] = dbeta
-    db1p_ref[...] = db1
+    dgp_ref[...] = _pad8(dgamma)
+    dbp_ref[...] = _pad8(dbeta)
+    db1p_ref[...] = _pad8(db1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -474,9 +482,9 @@ def _mlp_block_bwd_defused(x, dy, gamma, beta, w1, b1, w2, interpret=False):
                    jax.ShapeDtypeStruct((m, hdim), x.dtype),
                    jax.ShapeDtypeStruct((m, d), x.dtype),
                    jax.ShapeDtypeStruct((m, hdim), x.dtype),
-                   jax.ShapeDtypeStruct((grid, d), jnp.float32),
-                   jax.ShapeDtypeStruct((grid, d), jnp.float32),
-                   jax.ShapeDtypeStruct((grid, hdim), jnp.float32)],
+                   jax.ShapeDtypeStruct((grid * 8, d), jnp.float32),
+                   jax.ShapeDtypeStruct((grid * 8, d), jnp.float32),
+                   jax.ShapeDtypeStruct((grid * 8, hdim), jnp.float32)],
         grid=(grid,),
         in_specs=[pl.BlockSpec((blk, d), lambda i: (i, 0)),
                   pl.BlockSpec((blk, d), lambda i: (i, 0))] + w_specs,
@@ -484,9 +492,9 @@ def _mlp_block_bwd_defused(x, dy, gamma, beta, w1, b1, w2, interpret=False):
                    pl.BlockSpec((blk, hdim), lambda i: (i, 0)),
                    pl.BlockSpec((blk, d), lambda i: (i, 0)),
                    pl.BlockSpec((blk, hdim), lambda i: (i, 0)),
-                   pl.BlockSpec((1, d), lambda i: (i, 0)),
-                   pl.BlockSpec((1, d), lambda i: (i, 0)),
-                   pl.BlockSpec((1, hdim), lambda i: (i, 0))],
+                   pl.BlockSpec((8, d), lambda i: (i, 0)),
+                   pl.BlockSpec((8, d), lambda i: (i, 0)),
+                   pl.BlockSpec((8, hdim), lambda i: (i, 0))],
         interpret=interpret,
         **kwargs,
     )(x, dy, *flat)
