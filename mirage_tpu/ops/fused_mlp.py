@@ -270,6 +270,17 @@ def _mlp_bwd_kernel(x_ref, dy_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
         db2_ref[...] += db2
 
 
+# De-fused backward per-(row x hdim-unit) VMEM coefficient. Measured on
+# chip (r4): at (65536, 256)x1024 with blk=2048 the real scoped-vmem usage
+# was 132 MB ≈ 63 B/row-unit (f32 intermediates spill + double-buffered
+# bf16 dh/act/y output windows), vs the 16 the accumulating kernel uses —
+# the defused kernel materializes 2 extra hdim-wide outputs and keeps more
+# f32 temporaries live. 40 lands decoder-shape blocks at 1024 (~66 MB real,
+# under the 128 MB chip VMEM) without shrinking the measured-good
+# pretrain-flat (256) / pretrain-large (128) blocks.
+_DEFUSED_ROW_UNIT = 40
+
+
 def _pick_bwd_block(m, d, hdim, live_bytes_per_row_unit, fixed_bytes,
                     budget=48 * 2 ** 20, ceiling=58 * 2 ** 20):
     """Largest row block for a sequential accumulating backward grid.
@@ -350,9 +361,9 @@ def _mlp_block_bwd_pallas(x, dy, gamma, beta, w1, b1, w2, interpret=False):
             # so exact-flatten (no pad copies, no wasted rows) is preferred
             # whenever the defused footprint admits any block; pad only as
             # the fallback
-            if _pick_bwd_block(b * n, d, hdim, 16, 4 * d * hdim) is not None:
+            if _pick_bwd_block(b * n, d, hdim, _DEFUSED_ROW_UNIT, 4 * d * hdim) is not None:
                 route = "flat"
-            elif _pick_bwd_block(b * n_pad, d, hdim, 16, 4 * d * hdim) is not None:
+            elif _pick_bwd_block(b * n_pad, d, hdim, _DEFUSED_ROW_UNIT, 4 * d * hdim) is not None:
                 route = "pad"
             else:
                 route = None
@@ -472,7 +483,7 @@ def _mlp_block_bwd_defused(x, dy, gamma, beta, w1, b1, w2, interpret=False):
     flat = (gamma.reshape(1, d), beta.reshape(1, d), w1.astype(x.dtype),
             b1.reshape(1, hdim), w2.astype(x.dtype))
     # ~3 f32 hidden passes + bf16 dh/act outputs live; weights are bf16 only
-    blk = _pick_bwd_block(m, d, hdim, 16, 4 * d * hdim)
+    blk = _pick_bwd_block(m, d, hdim, _DEFUSED_ROW_UNIT, 4 * d * hdim)
     if blk is None:
         blk = m
     grid = m // blk
