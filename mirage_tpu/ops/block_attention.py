@@ -662,14 +662,17 @@ def _attn_half_fwd_vjp(x, gamma, beta, wqkv, bqkv, wproj, bproj, num_heads,
                           interpret=_rt.interpret()), res
 
 
-# Chip-A/B switch (scripts/bench_attn_bwd_regbatch.py): which backward the
-# custom VJP routes to — "accumulate" (sequential grid, in-kernel dW),
+# Backward impl switch (scripts/bench_attn_bwd_regbatch.py): which backward
+# the custom VJP routes to — "accumulate" (sequential grid, in-kernel dW),
 # "reg_batch" (same, register-batched accumulator updates), or "defused"
-# (parallel dx kernel + XLA weight-grad contractions). Env override (read
-# once at import): MIRAGE_ATTN_BWD=defused python scripts/bench_train.py ...
+# (parallel dx kernel + XLA weight-grad contractions). Default flipped to
+# "defused" from the r4 chip A/B: 3.902 vs 4.098 ms/layer at the
+# pretraining shape (reg_batch 3.997 — middle, not adopted); end-to-end
+# pretraining 1213.8 -> 1222.5 img/s. Env override (read once at import):
+# MIRAGE_ATTN_BWD=accumulate python ...
 from mirage_tpu.utils.envflags import env_choice as _env_choice  # noqa: E402
 
-_ATTN_BWD_IMPL = _env_choice("MIRAGE_ATTN_BWD", "accumulate",
+_ATTN_BWD_IMPL = _env_choice("MIRAGE_ATTN_BWD", "defused",
                              ("accumulate", "reg_batch", "defused"))
 
 

@@ -169,14 +169,17 @@ def _mlp_block_fwd(x, gamma, beta, w1, b1, w2, b2, block_rows: int = 512,
 # initialized at program 0 — the standard Pallas reduction pattern).
 # ---------------------------------------------------------------------------
 
-# Chip-A/B switch (scripts/bench_mlp_bwd_defused.py): "accumulate" keeps
-# the sequential in-kernel dW reduction; "defused" routes the 2-D terminal
-# to _mlp_block_bwd_defused (parallel dx kernel + XLA dW contractions).
-# Env override (read once at import) lets full-step A/Bs flip it without
-# code edits: MIRAGE_MLP_BWD=defused python scripts/bench_train.py pretrain
+# Backward impl switch (scripts/bench_mlp_bwd_defused.py): "accumulate"
+# keeps the sequential in-kernel dW reduction; "defused" routes the 2-D
+# terminal to _mlp_block_bwd_defused (parallel dx kernel + XLA dW
+# contractions). Default flipped to "defused" from the r4 chip A/B:
+# micro +0.063 ms/layer at the pretrain-flat shape, end-to-end pretraining
+# 1222.5 -> 1227.1 img/s stacked on the token-loss + attn-defused flips
+# (/tmp-logged 2026-08-18 sweep, BASELINE.md round-4 delta). Env override
+# (read once at import): MIRAGE_MLP_BWD=accumulate python ...
 from mirage_tpu.utils.envflags import env_choice as _env_choice  # noqa: E402
 
-_MLP_BWD_IMPL = _env_choice("MIRAGE_MLP_BWD", "accumulate",
+_MLP_BWD_IMPL = _env_choice("MIRAGE_MLP_BWD", "defused",
                             ("accumulate", "defused"))
 
 

@@ -26,12 +26,14 @@ from mirage_tpu.train.optim import GroupedOptimizer
 # Loss computation space for the pretraining step. "token" computes the
 # masked losses on the decoders' pre-unpatchify patch tokens — algebraically
 # identical to the pixel path (losses/masked.py equivalence notes) but with
-# no unpatchify / mask-upsample / pixel-stream HBM traffic. Chip A/B:
-# MIRAGE_LOSS_SPACE=token python scripts/bench_loss_tokens.py (and
-# scripts/bench_train.py pretrain). Default stays "pixel" until measured.
+# no unpatchify / mask-upsample / pixel-stream HBM traffic. Default flipped
+# to "token" from the r4 chip A/B: loss-tail micro MSE 28.7 -> 6.0 ms and
+# CE 15.5 -> 5.2 ms (scripts/bench_loss_tokens.py); end-to-end pretraining
+# 1118.1 -> 1213.8 img/s (+8.6%, the single biggest r4 win). Env override
+# (read once at import): MIRAGE_LOSS_SPACE=pixel python ...
 from mirage_tpu.utils.envflags import env_choice as _env_choice  # noqa: E402
 
-_LOSS_SPACE = _env_choice("MIRAGE_LOSS_SPACE", "pixel", ("pixel", "token"))
+_LOSS_SPACE = _env_choice("MIRAGE_LOSS_SPACE", "token", ("pixel", "token"))
 
 
 def make_pretrain_loss(model, domain_conf: Mapping[str, Mapping[str, Any]],
