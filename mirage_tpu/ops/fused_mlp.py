@@ -360,16 +360,12 @@ def _mlp_block_bwd_pallas(x, dy, gamma, beta, w1, b1, w2, interpret=False):
         b, n, _ = x.shape
         n_pad = -(-n // 16) * 16
         if _MLP_BWD_IMPL == "defused":
-            # program count is DMA-pipelined on the defused PARALLEL grid,
-            # so exact-flatten (no pad copies, no wasted rows) is preferred
-            # whenever the defused footprint admits any block; pad only as
-            # the fallback
-            if _pick_bwd_block(b * n, d, hdim, _DEFUSED_ROW_UNIT, 4 * d * hdim) is not None:
-                route = "flat"
-            elif _pick_bwd_block(b * n_pad, d, hdim, _DEFUSED_ROW_UNIT, 4 * d * hdim) is not None:
-                route = "pad"
-            else:
-                route = None
+            # Fewest programs wins on the defused PARALLEL grid too (r4 chip
+            # A/B): cls-FT flat is 257 tiny programs at 3.354 ms vs pad's 68
+            # at 3.313; pretraining flat 99 < pad 112 keeps flat. Per-program
+            # fixed cost dominates once blocks shrink, parallel grid or not.
+            route = _route_unaligned_bwd(b, n, d, hdim,
+                                         _DEFUSED_ROW_UNIT, 4)
         else:
             route = _route_unaligned_bwd(b, n, d, hdim)
         if route == "flat":
@@ -889,13 +885,16 @@ def _mlp_block_fwd_vjp(x, gamma, beta, w1, b1, w2, b2):
         (x, gamma, beta, w1, b1, w2, b2)
 
 
-def _route_unaligned_bwd(b, n, d, hdim):
+def _route_unaligned_bwd(b, n, d, hdim, row_unit=18, fixed_mult=12):
     """'flat' | 'pad' | None for an unaligned-(B, N, D) backward: fewest
-    sequential accumulate programs wins, ties to flatten (no wasted rows).
-    None = neither 2-D routing admits a block (per-element path runs)."""
+    grid programs wins, ties to flatten (no wasted rows). None = neither
+    2-D routing admits a block (per-element path runs). row_unit/fixed_mult
+    select the picker coefficients: (18, 12) for the accumulating kernel,
+    (_DEFUSED_ROW_UNIT, 4) for the de-fused one (no f32 dW accumulators)."""
     n_pad = -(-n // 16) * 16
-    blk_flat = _pick_bwd_block(b * n, d, hdim, 18, 12 * d * hdim)
-    blk_pad = (_pick_bwd_block(b * n_pad, d, hdim, 18, 12 * d * hdim)
+    blk_flat = _pick_bwd_block(b * n, d, hdim, row_unit, fixed_mult * d * hdim)
+    blk_pad = (_pick_bwd_block(b * n_pad, d, hdim, row_unit,
+                               fixed_mult * d * hdim)
                if (b * n_pad) % 1024 == 0 else None)
     progs_flat = (b * n) // blk_flat if blk_flat else None
     progs_pad = (b * n_pad) // blk_pad if blk_pad else None
@@ -906,9 +905,14 @@ def _route_unaligned_bwd(b, n, d, hdim):
 
 
 def _bwd_kernel_viable(x, d, hdim):
-    """Mirror _mlp_block_bwd_pallas's routing to predict whether its 2-D
-    accumulating grid would land on a VMEM-safe block; the per-element 3-D
-    path (small n, elems<=4) is always viable."""
+    """Mirror _mlp_block_bwd_pallas's routing to predict whether the active
+    backward impl's 2-D grid would land on a VMEM-safe block; the
+    per-element 3-D path (small n, elems<=4) is always the accumulating
+    kernel, so its estimate keeps the accumulate coefficients."""
+    if _MLP_BWD_IMPL == "defused":
+        row_unit, fixed_mult = _DEFUSED_ROW_UNIT, 4
+    else:
+        row_unit, fixed_mult = 18, 12
     if x.ndim == 3:
         b, n, _ = x.shape
         if n % 16 == 0:
@@ -920,16 +924,17 @@ def _bwd_kernel_viable(x, d, hdim):
             # ((elems, n) rows live at once + the fixed f32 accumulators
             # and weights), so a future shape where all three bust VMEM
             # falls back to XLA instead of failing Mosaic compile
-            if _route_unaligned_bwd(b, n, d, hdim) is not None:
+            if _route_unaligned_bwd(b, n, d, hdim, row_unit,
+                                    fixed_mult) is not None:
                 return True
             elems = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
             return (elems * n * hdim * 18 + 12 * d * hdim) < 58 * 2 ** 20
     else:
         m = x.shape[0]
-    blk = _pick_bwd_block(m, d, hdim, 18, 12 * d * hdim)
+    blk = _pick_bwd_block(m, d, hdim, row_unit, fixed_mult * d * hdim)
     if blk is None:
         blk = m  # single-block fallback — viable only if it fits the ceiling
-    return blk * hdim * 18 + 12 * d * hdim < 58 * 2 ** 20
+    return blk * hdim * row_unit + fixed_mult * d * hdim < 58 * 2 ** 20
 
 
 def _mlp_block_bwd_vjp(res, g):
