@@ -93,18 +93,22 @@ def main():
           f"(norm-rel {rel:.3e}, max|ref| {np.abs(ref_b).max():.3e})")
     assert rel < 3e-2, "serving mismatch"
 
-    # quick relative timing (serving overhead of the shard_map wrapper)
+    # quick relative timing (serving overhead of the shard_map wrapper).
+    # Warm with a HOST READ — block_until_ready is a no-op on the tunneled
+    # platform, so without it the timed loop absorbs the compile/backlog
+    # (the r4 run printed a bogus 5x shard_map 'overhead' that a proper
+    # chained bench, scripts/bench_shardmap_overhead.py, measured at ~3.5%)
     def timeit(f, *a, iters=ITERS):
-        acc = None
-        out = f(*a)  # warm
-        jax.tree_util.tree_map(lambda v: v.block_until_ready(), out)
+        out = f(*a)  # warm: compile + drain, synced by the host read below
+        float(jnp.sum(out["bscan"].astype(jnp.float32))
+              if isinstance(out, dict) else jnp.sum(out))
         t0 = time.perf_counter()
         for _ in range(iters):
             out = f(*a)
         # host read = the only real sync on the tunneled platform
         s = float(sum(jnp.sum(v.astype(jnp.float32)) for v in out.values())
                   if isinstance(out, dict) else jnp.sum(out))
-        del s, acc
+        del s
         return (time.perf_counter() - t0) / iters
 
     t_plain = timeit(jax.jit(fwd), params, x, masks)

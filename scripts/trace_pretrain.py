@@ -53,5 +53,6 @@ for plane in xs.planes:
             tot[name] += ev.duration_ps
             n[name] += 1
         print(f"total events {len(line.events)}")
-        for name, ps in tot.most_common(28):
+        print(f"sum of all op self-times: {sum(tot.values())/1e9/2:.1f} ms/step")
+        for name, ps in tot.most_common(60):
             print(f"{ps/1e9/2:9.3f} ms x{n[name]:4d}  {name[:100]}", flush=True)
