@@ -40,14 +40,10 @@ def patch_embed(x, w, b, ph: int, pw: int, pos_emb_tokens=None, compute_dtype=No
       pos_emb_tokens: optional (1, N, D) positional embedding to add.
     Returns (B, N, D).
     """
-    # Cast BEFORE patchify: the cast commutes bitwise with the pure layout
-    # reshape/transpose, and running the 6-D patchify copies on bf16 instead
-    # of f32 halves their HBM traffic (the r4 pretrain trace showed ~3.2
-    # ms/step of f32 input-layout copies at B=256: copy.463/476/477/464).
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
     patches = patchify(x, ph, pw)
+    if compute_dtype is not None:
+        patches = patches.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     tokens = patches @ w + b.astype(patches.dtype)
     if pos_emb_tokens is not None:
         tokens = tokens + pos_emb_tokens.astype(tokens.dtype)
