@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mirage_tpu.ops import fused_adamw as _fa
+
 
 NO_DECAY_LEAF_NAMES = {"b", "bias", "scale"}
 # reference no_weight_decay sets (model.py:126-143, adapters)
@@ -152,13 +154,21 @@ class GroupedOptimizer:
             raise ValueError(f"Unknown optimizer {self.cfg.opt}")
         return state
 
-    def update(self, grads, state, params, lr, wd_scale=1.0):
+    def update(self, grads, state, params, lr, wd_scale=1.0,
+               allow_kernel: bool = True):
         """Returns (new_params, new_state, grad_norm).
 
         Implements native_scaler semantics: clip_grad rescales gradients to
         the clip norm; skip_grad zeroes the update (but still advances
         count, matching the reference's scaler.update()) when the norm
         explodes.
+
+        allow_kernel: big aligned AdamW leaves route through the one-pass
+        fused Pallas kernel (ops/fused_adamw.py). MUST be False inside a
+        GSPMD-sharded jit (fsdp/tensor meshes) — a pallas_call with
+        GSPMD-sharded operands is a hard Mosaic error; the shard_map dp
+        step sees per-device arrays and is fine (train/steps.py routes
+        this).
         """
         cfg = self.cfg
         meta = self.meta(params)
@@ -172,9 +182,9 @@ class GroupedOptimizer:
         else:
             keep = jnp.float32(1.0)
 
+        gscale = None
         if cfg.clip_grad is not None:
-            scale = jnp.minimum(1.0, cfg.clip_grad / (gnorm + 1e-6))
-            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            gscale = jnp.minimum(1.0, cfg.clip_grad / (gnorm + 1e-6))
 
         count = state["count"] + keep.astype(jnp.int32)
         new_state = {"count": count}
@@ -189,33 +199,48 @@ class GroupedOptimizer:
         trainable = meta["trainable"]
         if cfg.opt in ("adamw", "adam"):
             b1, b2 = cfg.betas
-            if cfg.opt == "adam":
-                # torch Adam applies weight decay as L2 on the gradient
-                grads = jax.tree_util.tree_map(
-                    lambda g, p, wd, t: g + (wd * wd_scale) * p if t else g,
-                    grads, params, meta["wd"], trainable)
-            mu = jax.tree_util.tree_map(
-                lambda m, g, t: blend(m, b1 * m + (1 - b1) * g) if t else m,
-                state["mu"], grads, trainable)
-            nu = jax.tree_util.tree_map(
-                lambda n, g, t: blend(n, b2 * n + (1 - b2) * jnp.square(g))
-                if t else n,
-                state["nu"], grads, trainable)
-            new_state["mu"], new_state["nu"] = mu, nu
             c1 = 1 - b1 ** jnp.maximum(count.astype(jnp.float32), 1.0)
             c2 = 1 - b2 ** jnp.maximum(count.astype(jnp.float32), 1.0)
 
-            def upd(m, n, p, wd, scale, t):
+            def leaf(g, m, n, p, wd, scale, t):
+                """One leaf's full update -> (mu', nu', p'). Same math as
+                the pre-r4 tree_map formulation (bit-for-bit on the XLA
+                route); the kernel route does it in one HBM pass."""
                 if not t:
-                    return _FROZEN
-                step = (m / c1) / (jnp.sqrt(n / c2) + cfg.eps)
+                    return m, n, p
+                if (cfg.opt == "adamw" and allow_kernel
+                        and _fa.leaf_update_viable(p, scale)):
+                    return _fa.fused_adamw_leaf(
+                        g, m, n, p,
+                        gscale=(jnp.float32(1.0) if gscale is None
+                                else gscale),
+                        lr_eff=jnp.float32(lr * scale),
+                        wd_eff=jnp.float32(wd * wd_scale),
+                        c1=c1, c2=c2, keep=keep,
+                        b1=b1, b2=b2, eps=cfg.eps)
+                gg = g if gscale is None else g * gscale
+                if cfg.opt == "adam":
+                    # torch Adam applies weight decay as L2 on the gradient
+                    gg = gg + (wd * wd_scale) * p
+                m2 = blend(m, b1 * m + (1 - b1) * gg)
+                n2 = blend(n, b2 * n + (1 - b2) * jnp.square(gg))
+                step = (m2 / c1) / (jnp.sqrt(n2 / c2) + cfg.eps)
                 if cfg.opt == "adamw":
                     step = step + (wd * wd_scale) * p
-                return -lr * scale * step
+                u = -lr * scale * step
+                return m2, n2, p + jnp.where(keep > 0, u, jnp.zeros_like(u))
 
-            updates = jax.tree_util.tree_map(
-                upd, mu, nu, params, meta["wd"], meta["lr_scale"], trainable)
+            out = jax.tree_util.tree_map(
+                leaf, grads, state["mu"], state["nu"], params, meta["wd"],
+                meta["lr_scale"], trainable)
+            _is3 = lambda x: isinstance(x, tuple)
+            pick = lambda k: jax.tree_util.tree_map(
+                lambda o: o[k], out, is_leaf=_is3)
+            new_state["mu"], new_state["nu"] = pick(0), pick(1)
+            return pick(2), new_state, gnorm
         else:  # sgd family (torch semantics: d = g + wd*p; buf = mom*buf + d)
+            if gscale is not None:
+                grads = jax.tree_util.tree_map(lambda g: g * gscale, grads)
             nesterov = cfg.opt in ("sgd", "nesterov")  # 'sgd' == nesterov in ref
             momentum = cfg.momentum
             d = jax.tree_util.tree_map(

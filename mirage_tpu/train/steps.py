@@ -88,6 +88,11 @@ def make_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
     (identical to before; the single-chip bench path is untouched).
     """
 
+    # GSPMD-sharded steps (fsdp/tensor meshes fall through to the plain jit
+    # below) must keep the optimizer on pure XLA: a pallas_call (the fused
+    # AdamW leaf kernel) with GSPMD-sharded operands is a hard Mosaic error.
+    gspmd = mesh is not None and mesh.size > 1
+
     def step_fn(state, batch, rng, lr, wd_scale):
         def wrapped(params, batch, rng):
             return loss_fn(optimizer.stop_frozen(params), batch, rng)
@@ -95,7 +100,8 @@ def make_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
         (loss, task_losses), grads = jax.value_and_grad(wrapped, has_aux=True)(
             state["params"], batch, rng)
         params, opt_state, gnorm = optimizer.update(
-            grads, state["opt"], state["params"], lr, wd_scale)
+            grads, state["opt"], state["params"], lr, wd_scale,
+            allow_kernel=not gspmd)
         new_state = {"params": params, "opt": opt_state, "step": state["step"] + 1}
         metrics = {"loss": loss, "grad_norm": gnorm}
         metrics.update({f"loss_{k}": v for k, v in task_losses.items()})

@@ -213,3 +213,56 @@ def test_frozen_encoder_output_stopgrad_preserves_head_grads():
             jax.tree_util.tree_flatten_with_path(g1["output_adapters"])[0]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
                                    err_msg=jax.tree_util.keystr(pth))
+
+
+def test_fused_adamw_kernel_matches_xla():
+    """The one-pass fused AdamW leaf kernel (ops/fused_adamw.py, routed for
+    big aligned leaves) must match the tree_map XLA path — incl. clip_grad
+    scaling, decoupled wd, bias correction, and the skip_grad blend."""
+    from mirage_tpu.ops import fused_adamw as fa
+    from mirage_tpu.ops import runtime as rt
+
+    rng = np.random.default_rng(0)
+    # big enough (>= fa._MIN_ELEMS) and 512-divisible to route; plus a
+    # small leaf that stays XLA either way
+    params = {"enc": {"w": jnp.asarray(rng.standard_normal((2, 512, 512)),
+                                       jnp.float32)},
+              "head": {"b": jnp.asarray(rng.standard_normal((7,)),
+                                        jnp.float32)}}
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.standard_normal(p.shape) * 3, jnp.float32),
+        params)
+    cfg = OptimizerConfig(opt="adamw", betas=(0.9, 0.95), weight_decay=0.05,
+                          clip_grad=1.0, skip_grad=100.0)
+    opt = create_optimizer(cfg)
+    state = opt.init(params)
+
+    fa.set_enabled(False)
+    p_x, s_x, gn_x = jax.jit(lambda: opt.update(grads, state, params, 1e-2))()
+    assert fa.last_routed_count() == 0
+
+    fa.reset_routed_count()
+    try:
+        with rt.forced("interpret"):
+            fa.set_enabled(True)
+            p_k, s_k, gn_k = jax.jit(
+                lambda: opt.update(grads, state, params, 1e-2))()
+    finally:
+        fa.set_enabled(True)
+    assert fa.last_routed_count() == 1  # only the big leaf routed
+
+    for a, b in zip(jax.tree_util.tree_leaves((p_x, s_x["mu"], s_x["nu"])),
+                    jax.tree_util.tree_leaves((p_k, s_k["mu"], s_k["nu"]))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    assert float(gn_x) == float(gn_k)
+
+    # skip_grad blend inside the kernel: exploding grads leave everything
+    # untouched through the kernel route too
+    bad = jax.tree_util.tree_map(lambda g: g * 1e6, grads)
+    with rt.forced("interpret"):
+        p_b, s_b, _ = jax.jit(lambda: opt.update(bad, state, params, 1e-2))()
+    np.testing.assert_array_equal(np.asarray(p_b["enc"]["w"]),
+                                  np.asarray(params["enc"]["w"]))
+    np.testing.assert_array_equal(np.asarray(s_b["nu"]["enc"]["w"]),
+                                  np.asarray(state["nu"]["enc"]["w"]))
