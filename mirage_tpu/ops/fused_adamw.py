@@ -150,6 +150,10 @@ def fused_adamw_leaf(g, m, n, p, *, gscale, lr_eff, wd_eff, c1, c2, keep,
                   bspec, bspec, bspec, bspec],
         out_specs=(bspec, bspec, bspec),
         out_shape=(jax.ShapeDtypeStruct((rows, cols), jnp.float32),) * 3,
+        # m/n/p inputs alias the m'/n'/p' outputs: the update is genuinely
+        # in-place when the caller donates the train state (otherwise XLA
+        # inserts the copy), instead of 7 live leaf-sized buffers (ADVICE r4)
+        input_output_aliases={2: 0, 3: 1, 4: 2},
         interpret=_rt.interpret(),
     )(sc, view(g.astype(jnp.float32)), view(m), view(n), view(p))
     _LAST_ROUTED += 1

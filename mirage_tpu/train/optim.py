@@ -113,6 +113,14 @@ def _leaf_meta(cfg: OptimizerConfig, names: Tuple[str, ...], leaf) -> Dict[str, 
 _FROZEN = object()  # frozen-leaf update sentinel (identity in apply_update)
 
 
+class _UpdateTriple(tuple):
+    """Marker for one leaf's (mu', nu', p') result. A distinct type (left
+    unregistered with tree_util, so it is a leaf) rather than a bare tuple:
+    `pick` below must never mistake a tuple *container* inside a params
+    pytree for an update triple (ADVICE r4)."""
+    __slots__ = ()
+
+
 def global_norm(tree) -> jax.Array:
     leaves = jax.tree_util.tree_leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
@@ -207,17 +215,17 @@ class GroupedOptimizer:
                 the pre-r4 tree_map formulation (bit-for-bit on the XLA
                 route); the kernel route does it in one HBM pass."""
                 if not t:
-                    return m, n, p
+                    return _UpdateTriple((m, n, p))
                 if (cfg.opt == "adamw" and allow_kernel
                         and _fa.leaf_update_viable(p, scale)):
-                    return _fa.fused_adamw_leaf(
+                    return _UpdateTriple(_fa.fused_adamw_leaf(
                         g, m, n, p,
                         gscale=(jnp.float32(1.0) if gscale is None
                                 else gscale),
                         lr_eff=jnp.float32(lr * scale),
                         wd_eff=jnp.float32(wd * wd_scale),
                         c1=c1, c2=c2, keep=keep,
-                        b1=b1, b2=b2, eps=cfg.eps)
+                        b1=b1, b2=b2, eps=cfg.eps))
                 gg = g if gscale is None else g * gscale
                 if cfg.opt == "adam":
                     # torch Adam applies weight decay as L2 on the gradient
@@ -228,12 +236,13 @@ class GroupedOptimizer:
                 if cfg.opt == "adamw":
                     step = step + (wd * wd_scale) * p
                 u = -lr * scale * step
-                return m2, n2, p + jnp.where(keep > 0, u, jnp.zeros_like(u))
+                return _UpdateTriple(
+                    (m2, n2, p + jnp.where(keep > 0, u, jnp.zeros_like(u))))
 
             out = jax.tree_util.tree_map(
                 leaf, grads, state["mu"], state["nu"], params, meta["wd"],
                 meta["lr_scale"], trainable)
-            _is3 = lambda x: isinstance(x, tuple)
+            _is3 = lambda x: isinstance(x, _UpdateTriple)
             pick = lambda k: jax.tree_util.tree_map(
                 lambda o: o[k], out, is_leaf=_is3)
             new_state["mu"], new_state["nu"] = pick(0), pick(1)

@@ -237,6 +237,7 @@ def test_fused_adamw_kernel_matches_xla():
     opt = create_optimizer(cfg)
     state = opt.init(params)
 
+    fa.reset_routed_count()  # earlier tests (kernel_sharding) may have routed
     fa.set_enabled(False)
     p_x, s_x, gn_x = jax.jit(lambda: opt.update(grads, state, params, 1e-2))()
     assert fa.last_routed_count() == 0
