@@ -130,18 +130,11 @@ class SpatialOutputAdapter:
             chunks.append(emb)
         return jnp.concatenate(chunks, axis=1)
 
-    def __call__(self, params, encoder_tokens, input_info, ids_keep, ids_restore,
-                 *, deterministic=True, rng=None, impl="auto", absent_tasks=(),
-                 pixel_output=True):
-        """encoder_tokens: (B, E+G, D_enc); returns (B, C, H, W), or the
-        pre-unpatchify patch tokens (B, N, C*ph*pw) in (c, ph, pw) flat order
-        when pixel_output=False (for patch-space losses — the unpatchify is a
-        pure layout op the loss can algebraically absorb, losses/masked.py).
-
-        When ids_keep/ids_restore are None (static-layout fast path), the
-        visible encoder tokens are the non-absent tasks' chunks in task
-        order, so the mask-token unshuffle and visible-context gathers reduce
-        to per-task concat/slice (no take_along_axis)."""
+    def _prepare(self, params, encoder_tokens, input_info, ids_keep,
+                 ids_restore, absent_tasks=()):
+        """Context projection + mask-token unshuffle + embeddings + query /
+        visible-context selection — everything before the transformer tail.
+        Returns (queries, context_vis, (nh, nw))."""
         b = encoder_tokens.shape[0]
         h, w = input_info["tasks"][self.task]["image_size"]
         ph, pw = self.patch_hw
@@ -206,7 +199,13 @@ class SpatialOutputAdapter:
             context_vis = onehot_gather_rows(context_with_mask, ids_keep)
         if num_global:
             context_vis = jnp.concatenate([context_vis, context[:, -num_global:]], axis=1)
+        return queries, context_vis, (nh, nw)
 
+    def _tail(self, params, queries, context_vis, *, deterministic=True,
+              rng=None, impl="auto"):
+        """Cross-attention + MLP + self-attention transformer over prepared
+        (queries, context_vis). Kept separate so identically-configured
+        decoders can be vmapped over a task axis (batched_spatial_decode)."""
         if self.use_xattn:
             fused = (deterministic and impl in ("auto", "block")
                      and queries.shape[1] <= 512 and context_vis.shape[1] <= 512
@@ -239,8 +238,116 @@ class SpatialOutputAdapter:
                 r = jax.random.fold_in(rng, i) if rng is not None else None
                 x = block_apply(bp, x, self.num_heads, impl=impl,
                                 deterministic=deterministic, rng=r)
+        return x
 
+    def _finish(self, params, x, nh, nw, pixel_output=True):
+        ph, pw = self.patch_hw
         x = linear(params["out_proj"], x)
         if not pixel_output:
             return x
         return unpatchify(x, nh, nw, ph, pw, self.num_channels)
+
+    def __call__(self, params, encoder_tokens, input_info, ids_keep, ids_restore,
+                 *, deterministic=True, rng=None, impl="auto", absent_tasks=(),
+                 pixel_output=True):
+        """encoder_tokens: (B, E+G, D_enc); returns (B, C, H, W), or the
+        pre-unpatchify patch tokens (B, N, C*ph*pw) in (c, ph, pw) flat order
+        when pixel_output=False (for patch-space losses — the unpatchify is a
+        pure layout op the loss can algebraically absorb, losses/masked.py).
+
+        When ids_keep/ids_restore are None (static-layout fast path), the
+        visible encoder tokens are the non-absent tasks' chunks in task
+        order, so the mask-token unshuffle and visible-context gathers reduce
+        to per-task concat/slice (no take_along_axis)."""
+        queries, context_vis, (nh, nw) = self._prepare(
+            params, encoder_tokens, input_info, ids_keep, ids_restore,
+            absent_tasks)
+        x = self._tail(params, queries, context_vis,
+                       deterministic=deterministic, rng=rng, impl=impl)
+        return self._finish(params, x, nh, nw, pixel_output)
+
+
+# ------------------------------------------------------------- task batching
+
+# Config fields that must match across adapters for the transformer tails to
+# be stackable (identical param-tree structure AND identical static routing
+# inside _tail/block_apply).
+_BATCH_KEYS = ("dim_tokens", "depth", "num_heads", "mlp_ratio", "qkv_bias",
+               "use_task_queries", "use_xattn")
+
+
+def decoders_batchable(adapters, input_info) -> bool:
+    """True when every output adapter is a SpatialOutputAdapter with an
+    identical transformer tail and identical query token counts — the
+    reference pretraining config (three decoders, dim 256 / depth 2 /
+    heads 8, 256 tokens each; run_pretraining.py:136-148). Then the tails
+    can run as ONE set of task-vmapped kernels instead of per-task
+    dispatches (the r4 trace's ~18 ms latency-bound decoder tail)."""
+    ads = list(adapters.values())
+    if len(ads) < 2:
+        return False
+    if not all(isinstance(a, SpatialOutputAdapter) for a in ads):
+        return False
+    a0 = ads[0]
+    if not (a0.use_xattn and a0.use_task_queries):
+        return False
+    if not all(getattr(a, k) == getattr(a0, k) for a in ads for k in _BATCH_KEYS):
+        return False
+    if not all(a.task in input_info["tasks"] for a in ads):
+        return False
+    if len({input_info["tasks"][a.task]["num_tokens"] for a in ads}) != 1:
+        return False
+    # identical task_embeddings key sets -> identical tail pytree structure
+    if len({a.context_tasks for a in ads}) != 1:
+        return False
+    return True
+
+
+_TAIL_KEYS = ("decoder", "context_norm", "query_norm", "out_norm", "mlp",
+              "decoder_transformer")
+
+
+def _tail_params(p):
+    return {k: p[k] for k in _TAIL_KEYS if k in p}
+
+
+def batched_spatial_decode(adapters, params, encoder_tokens, input_info,
+                           ids_keep, ids_restore, *, deterministic=True,
+                           rngs=None, impl="auto", absent_tasks=(),
+                           pixel_output=True):
+    """Run all spatial decoders with their transformer tails stacked on a
+    leading task axis: per-task preambles (cheap XLA: projection, unshuffle,
+    embeddings), then ONE vmapped tail — jax.vmap lifts each Pallas
+    custom-call onto an extra grid dimension, so the 3 tasks' kernels become
+    one dispatch each instead of three (task count × fewer sub-millisecond
+    custom calls; the r4 pretraining trace's largest non-floor component).
+    Numerics are the per-task path's exactly: same kernels, same per-program
+    shapes, just a longer grid. `rngs`: (T, key) array or None."""
+    tasks = list(adapters.keys())
+    a0 = adapters[tasks[0]]
+    qs, cs, geoms = [], [], []
+    for t in tasks:
+        q, c, geom = adapters[t]._prepare(
+            params[t], encoder_tokens, input_info, ids_keep, ids_restore,
+            absent_tasks)
+        qs.append(q)
+        cs.append(c)
+        geoms.append(geom)
+    q = jnp.stack(qs)
+    c = jnp.stack(cs)
+    tp = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[_tail_params(params[t]) for t in tasks])
+
+    if rngs is None:
+        x = jax.vmap(lambda p, q, c: a0._tail(
+            p, q, c, deterministic=deterministic, rng=None, impl=impl))(tp, q, c)
+    else:
+        x = jax.vmap(lambda p, q, c, r: a0._tail(
+            p, q, c, deterministic=deterministic, rng=r, impl=impl))(
+                tp, q, c, rngs)
+
+    preds = {}
+    for i, t in enumerate(tasks):
+        nh, nw = geoms[i]
+        preds[t] = adapters[t]._finish(params[t], x[i], nh, nw, pixel_output)
+    return preds

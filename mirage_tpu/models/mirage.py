@@ -17,7 +17,16 @@ from mirage_tpu.masking.masking import (
 from mirage_tpu.models.encoder import encoder_apply, encoder_init
 from mirage_tpu.nn import init as vinit
 from mirage_tpu.utils.factory import get_factory_adder
+from mirage_tpu.utils.envflags import env_choice as _env_choice
 from mirage_tpu.adapters.input_adapters import SemSegInputAdapter
+from mirage_tpu.adapters.spatial_output import (batched_spatial_decode,
+                                                decoders_batchable)
+
+# Task-batched decoder tails (spatial_output.batched_spatial_decode):
+# identical-config SpatialOutputAdapters run as ONE set of task-vmapped
+# kernels instead of per-task dispatches. Chip A/B pending (r5); env
+# override: MIRAGE_DEC_BATCH=on|off, read once at import.
+_DEC_BATCH = _env_choice("MIRAGE_DEC_BATCH", "off", ("on", "off")) == "on"
 
 
 add_model, model_factory = get_factory_adder()
@@ -247,6 +256,17 @@ class MIRAGEModel:
 
         dec_rng = jax.random.split(enc_rng, len(self.output_adapters)) \
             if (enc_rng is not None and not deterministic) else None
+        if _DEC_BATCH and decoders_batchable(self.output_adapters, input_info):
+            # One set of task-vmapped transformer tails instead of per-task
+            # kernel dispatches (spatial_output.batched_spatial_decode) —
+            # numerically identical, pinned by test_model_parity.
+            preds = batched_spatial_decode(
+                self.output_adapters, params["output_adapters"],
+                encoder_tokens, input_info, ids_keep, ids_restore,
+                deterministic=deterministic, rngs=dec_rng,
+                impl=self.attn_impl, absent_tasks=absent_tasks,
+                pixel_output=pixel_outputs)
+            return preds, task_masks
         preds = {}
         for j, (domain, adapter) in enumerate(self.output_adapters.items()):
             preds[domain] = adapter(
