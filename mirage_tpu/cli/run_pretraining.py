@@ -253,15 +253,20 @@ def main(argv=None):
 
     args.model = pick_model_from_weights(args)
     model = build_model(args)
-    if mesh.size > 1 and (args.mesh_fsdp > 1 or args.mesh_tensor > 1):
+    from mirage_tpu.train.steps import _FSDP_STEP
+    gspmd_shards = args.mesh_tensor > 1 or (
+        args.mesh_fsdp > 1 and _FSDP_STEP == "gspmd")
+    if mesh.size > 1 and gspmd_shards:
         # GSPMD-sharded params: the fused kernels cannot engage (a
         # pallas_call with sharded operands is a hard Mosaic error, and
         # in-kernel LN/matmuls can't span a sharded D) — force the XLA
-        # compute path up front instead of failing at compile
+        # compute path up front instead of failing at compile. fsdp-only
+        # meshes do NOT hit this: they take the shard_map ZeRO step
+        # (train/steps._make_fsdp_train_step), kernels engaged.
         import dataclasses
 
         if model.attn_impl != "xla":
-            print(">> fsdp/tensor-sharded mesh: forcing attn_impl='xla' "
+            print(">> tensor/GSPMD-sharded mesh: forcing attn_impl='xla' "
                   "(fused kernels require shard_map — parallel/mesh.py)")
             model = dataclasses.replace(model, attn_impl="xla")
     params = model.init_params(jax.random.PRNGKey(args.seed))

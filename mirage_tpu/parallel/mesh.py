@@ -106,6 +106,59 @@ def is_dp_only(mesh: Mesh) -> bool:
     return mesh.shape.get("fsdp", 1) == 1 and mesh.shape.get("tensor", 1) == 1
 
 
+def is_fsdp_only(mesh: Mesh) -> bool:
+    """True for (data, fsdp) meshes with no tensor parallelism — the shape
+    the shard_map FSDP train step covers (kernels engaged; tensor>1 keeps
+    GSPMD + attn_impl='xla', since in-kernel LN/matmuls can't span a sharded
+    feature dim without cross-device reductions the kernels don't do)."""
+    return mesh.shape.get("fsdp", 1) > 1 and mesh.shape.get("tensor", 1) == 1
+
+
+# Leaves smaller than this stay replicated under FSDP: norms/biases/posembs
+# are noise next to the stacked matmul weights, and gathering them per step
+# costs more dispatch than their memory is worth.
+_FSDP_MIN_ELEMS = 1 << 17
+
+
+def _fsdp_leaf_spec(leaf, fsdp: int) -> P:
+    """ZeRO-style spec for one leaf: shard the LAST axis over 'fsdp' when the
+    leaf is big enough and divisible; otherwise replicate. The last axis is
+    never the stacked layer axis (encoder leaves lead with L), so layer-decay
+    lr vectors still broadcast over sharded leaves."""
+    if leaf.ndim < 2 or int(np.prod(leaf.shape)) < _FSDP_MIN_ELEMS:
+        return P()
+    if leaf.shape[-1] % fsdp != 0:
+        return P()
+    return P(*([None] * (leaf.ndim - 1) + ["fsdp"]))
+
+
+def fsdp_param_specs(params, mesh: Mesh):
+    """Pytree of PartitionSpec for the shard_map FSDP step: every big matmul
+    weight (and its Adam moments) sharded over 'fsdp' on its last axis,
+    small leaves replicated. Distinct from `param_specs` (the Megatron
+    GSPMD layout): here every device gathers FULL weights before compute —
+    the sharding is a storage layout, chosen so the gathered result is
+    bit-identical to the unsharded array."""
+    fsdp = mesh.shape.get("fsdp", 1)
+    return jax.tree_util.tree_map(lambda l: _fsdp_leaf_spec(l, fsdp), params)
+
+
+def fsdp_gather(tree, specs):
+    """all_gather every 'fsdp'-sharded leaf back to full shape (tiled).
+    Differentiable: the transpose is psum_scatter, so grads of gathered
+    params arrive reduce-scattered (summed over the fsdp axis, shard-shaped)
+    — the ZeRO gradient flow, for free from autodiff. Must run inside a
+    shard_map over an 'fsdp' axis."""
+
+    def g(x, sp):
+        if not sp or "fsdp" not in sp:
+            return x
+        ax = sp.index("fsdp")
+        return jax.lax.all_gather(x, "fsdp", axis=ax, tiled=True)
+
+    return jax.tree_util.tree_map(g, tree, specs)
+
+
 def dp_shard_map(fn, mesh: Mesh, *, n_batch_args: int, n_scalar_args: int = 0,
                  axes=("data", "fsdp")):
     """Data-parallel shard_map wrapper for a kernel-bearing computation.

@@ -163,7 +163,7 @@ class GroupedOptimizer:
         return state
 
     def update(self, grads, state, params, lr, wd_scale=1.0,
-               allow_kernel: bool = True):
+               allow_kernel: bool = True, gnorm=None):
         """Returns (new_params, new_state, grad_norm).
 
         Implements native_scaler semantics: clip_grad rescales gradients to
@@ -177,10 +177,16 @@ class GroupedOptimizer:
         GSPMD-sharded operands is a hard Mosaic error; the shard_map dp
         step sees per-device arrays and is fine (train/steps.py routes
         this).
+
+        gnorm: precomputed GLOBAL grad norm. The shard_map FSDP step passes
+        it because its local grads tree mixes shard-shaped and replicated
+        leaves (a local global_norm would double-count nothing but miss the
+        other shards); everyone else leaves it None.
         """
         cfg = self.cfg
         meta = self.meta(params)
-        gnorm = global_norm(grads)
+        if gnorm is None:
+            gnorm = global_norm(grads)
 
         # skip_grad: reference scaler returns BEFORE optimizer.step() on a
         # norm explosion (native_scaler.py:24-29) — params, moments, AND the

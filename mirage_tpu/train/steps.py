@@ -35,6 +35,12 @@ from mirage_tpu.utils.envflags import env_choice as _env_choice  # noqa: E402
 
 _LOSS_SPACE = _env_choice("MIRAGE_LOSS_SPACE", "token", ("pixel", "token"))
 
+# FSDP-only meshes (fsdp>1, tensor==1): 'shardmap' runs the ZeRO-style
+# shard_map step with the Pallas kernels ENGAGED (_make_fsdp_train_step);
+# 'gspmd' keeps the Megatron GSPMD jit, which requires attn_impl='xla'
+# (the r4 state of the world — kept as an escape hatch / A-B handle).
+_FSDP_STEP = _env_choice("MIRAGE_FSDP_STEP", "shardmap", ("shardmap", "gspmd"))
+
 
 def make_pretrain_loss(model, domain_conf: Mapping[str, Mapping[str, Any]],
                        num_encoded_tokens: int, alphas=1.0,
@@ -108,10 +114,12 @@ def make_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
         return new_state, metrics
 
     if mesh is not None and mesh.size > 1:
-        from mirage_tpu.parallel.mesh import is_dp_only
+        from mirage_tpu.parallel.mesh import is_dp_only, is_fsdp_only
 
         if is_dp_only(mesh):
             return _make_dp_train_step(loss_fn, optimizer, mesh, donate)
+        if is_fsdp_only(mesh) and _FSDP_STEP == "shardmap":
+            return _make_fsdp_train_step(loss_fn, optimizer, mesh, donate)
 
     # Sharding is data-driven: place `state` with shard_state() and `batch`
     # with shard_batch(); jit infers output shardings via GSPMD propagation.
@@ -163,6 +171,114 @@ def _make_dp_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def _make_fsdp_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
+                          mesh, donate: bool):
+    """ZeRO-style FSDP train step via shard_map — Pallas kernels ENGAGED.
+
+    Storage: params and Adam moments sharded over 'fsdp' on their last axis
+    (parallel/mesh.fsdp_param_specs; place the state with shard_state, which
+    routes fsdp-only meshes here). Compute: each device all_gathers the full
+    weights (fsdp_gather — one tiled all_gather per big leaf, inside the
+    differentiated region) and runs the SAME single-device trace as the dp
+    step, kernels and all — shard_map means the pallas_calls see purely
+    local operands, so the Mosaic GSPMD restriction never applies. Autodiff
+    of the gather reduce-scatters the weight grads back to shards (the
+    transpose of a tiled all_gather is psum_scatter); replicated-leaf grads
+    are pmean'd. The optimizer then updates only the local shard (ZeRO
+    optimizer-state sharding — the fused AdamW kernel runs on shard-shaped
+    leaves), with clip/skip driven by the true GLOBAL grad norm.
+
+    Memory per device: weights+moments 1/n_fsdp'd at rest; the gathered
+    full weights are live during the step (ViT-L: ~1.3 GB f32 — the
+    activation savings of remat dominate). The batch is sharded over
+    ('data','fsdp') like the dp step, and the rng is decorrelated per
+    device, so masks are per-shard draws (same semantics as the dp step,
+    NOT bitwise the single-device global-rng step).
+    """
+    from jax import shard_map
+    from mirage_tpu.parallel.mesh import fsdp_gather, fsdp_param_specs
+
+    axes = ("data", "fsdp")
+    n_fsdp = mesh.shape["fsdp"]
+    cache = {}
+
+    def build(state, batch):
+        pspecs = fsdp_param_specs(state["params"], mesh)
+
+        def local_step(state, batch, rng, lr, wd_scale):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axes))
+
+            def wrapped(local_params, batch, rng):
+                full = fsdp_gather(local_params, pspecs)
+                return loss_fn(optimizer.stop_frozen(full), batch, rng)
+
+            (loss, task_losses), grads = jax.value_and_grad(
+                wrapped, has_aux=True)(state["params"], batch, rng)
+
+            # Reductions: sharded-leaf grads arrive as psum_scatter results
+            # (summed over 'fsdp', shard-shaped) -> mean over 'data' then
+            # /n_fsdp completes the global batch mean; replicated leaves are
+            # per-device partials -> pmean over both axes.
+            def reduce_g(g, sp):
+                if sp and "fsdp" in sp:
+                    return jax.lax.pmean(g, "data") / n_fsdp
+                return jax.lax.pmean(g, axes)
+
+            grads = jax.tree_util.tree_map(reduce_g, grads, pspecs)
+            loss, task_losses = jax.lax.pmean((loss, task_losses), axes)
+
+            # Global grad norm across shards (for clip_grad / skip_grad):
+            # sharded leaves' sq sums psum over 'fsdp'; replicated leaves
+            # are identical everywhere post-pmean.
+            f32sq = lambda x: jnp.sum(jnp.square(x.astype(jnp.float32)))
+            sq_sh = jnp.float32(0)
+            sq_rep = jnp.float32(0)
+            for g, sp in zip(jax.tree_util.tree_leaves(grads),
+                             jax.tree_util.tree_leaves(pspecs)):
+                if sp and "fsdp" in sp:
+                    sq_sh = sq_sh + f32sq(g)
+                else:
+                    sq_rep = sq_rep + f32sq(g)
+            gnorm = jnp.sqrt(jax.lax.psum(sq_sh, "fsdp") + sq_rep)
+
+            params, opt_state, _ = optimizer.update(
+                grads, state["opt"], state["params"], lr, wd_scale,
+                gnorm=gnorm)
+            new_state = {"params": params, "opt": opt_state,
+                         "step": state["step"] + 1}
+            metrics = {"loss": loss, "grad_norm": gnorm}
+            metrics.update({f"loss_{k}": v for k, v in task_losses.items()})
+            return new_state, metrics
+
+        mspecs = jax.tree_util.tree_map(
+            lambda m, sp: sp if m.ndim else P(), state["opt"]["mu"], pspecs)
+        state_specs = {
+            "params": pspecs,
+            "opt": {k: (mspecs if k in ("mu", "nu") else P())
+                    for k in state["opt"]},
+            "step": P(),
+        }
+        batch_specs = jax.tree_util.tree_map(lambda _: P(axes), batch)
+        step = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(state_specs, batch_specs, P(), P(), P()),
+            out_specs=(state_specs, P()),
+            check_vma=False)
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def stepper(state, batch, rng, lr, wd_scale):
+        # Specs depend on leaf shapes, so the shard_map is built lazily from
+        # the first (state, batch) and cached (one structure per stepper).
+        if "fn" not in cache:
+            cache["fn"] = build(state, batch)
+        return cache["fn"](state, batch, rng, lr, wd_scale)
+
+    # exposed for AOT export checks: build(abstract_state, abstract_batch)
+    # accepts ShapeDtypeStruct pytrees (specs only need shapes/dtypes)
+    stepper.build = build
+    return stepper
+
+
 def init_train_state(params, optimizer: GroupedOptimizer):
     return {"params": params, "opt": optimizer.init(params),
             "step": jnp.zeros((), jnp.int32)}
@@ -174,21 +290,27 @@ def shard_state(state, mesh):
     everything (the shard_map dp step needs whole-param programs per
     device; param_specs' size-1 fsdp/tensor axes would be equivalent, but
     explicit replication keeps the placement obvious)."""
-    from mirage_tpu.parallel.mesh import is_dp_only, replicate
+    from mirage_tpu.parallel.mesh import (fsdp_param_specs, is_dp_only,
+                                          is_fsdp_only, replicate)
 
     if mesh.size > 1 and is_dp_only(mesh):
         return replicate(state, mesh)
-    if mesh.size > 1:
-        from mirage_tpu.ops import runtime
+    if mesh.size > 1 and is_fsdp_only(mesh) and _FSDP_STEP == "shardmap":
+        # ZeRO layout for the shard_map FSDP step: params/moments sharded
+        # over 'fsdp' on their last axis, everything else replicated.
+        pspecs = fsdp_param_specs(state["params"], mesh)
+    else:
+        if mesh.size > 1:
+            from mirage_tpu.ops import runtime
 
-        if runtime.kernels_enabled():
-            # GSPMD param sharding + fused kernels = hard Mosaic error at
-            # compile; the model must be built with attn_impl='xla' (the
-            # pretraining CLI does this automatically)
-            print("shard_state: fsdp/tensor-sharded mesh with kernels "
-                  "enabled — ensure the model uses attn_impl='xla' "
-                  "(parallel/mesh.py docstring)", flush=True)
-    pspecs = param_specs(state["params"])
+            if runtime.kernels_enabled():
+                # GSPMD param sharding + fused kernels = hard Mosaic error at
+                # compile; the model must be built with attn_impl='xla' (the
+                # pretraining CLI does this automatically)
+                print("shard_state: tensor/GSPMD-sharded mesh with kernels "
+                      "enabled — ensure the model uses attn_impl='xla' "
+                      "(parallel/mesh.py docstring)", flush=True)
+        pspecs = param_specs(state["params"])
 
     def place(tree, specs):
         # frozen-param moments are scalar placeholders (optim.py init):
