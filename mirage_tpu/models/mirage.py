@@ -24,8 +24,15 @@ from mirage_tpu.adapters.spatial_output import (batched_spatial_decode,
 
 # Task-batched decoder tails (spatial_output.batched_spatial_decode):
 # identical-config SpatialOutputAdapters run as ONE set of task-vmapped
-# kernels instead of per-task dispatches. Chip A/B pending (r5); env
-# override: MIRAGE_DEC_BATCH=on|off, read once at import.
+# kernels instead of per-task dispatches. MEASURED NEGATIVE on the chip
+# (r5 2026-08-19, scripts/bench_decbatch_ab.py, interleaved): batched
+# 218.6 vs per-task 214.2 ms/step median (-1.92%) on the ViT-B
+# pretraining step at B=256 — vmap lifts each Pallas call onto a leading
+# grid axis, but the 3x-longer grids don't amortize (the per-task calls
+# were already DMA-pipelined) and the stacked (3,...) params/queries add
+# relayout copies. Default stays off; the path is kept tested
+# (tests/test_decoder_batch.py) for wider-decoder configs where per-call
+# latency dominates. Env override: MIRAGE_DEC_BATCH=on|off, import-time.
 _DEC_BATCH = _env_choice("MIRAGE_DEC_BATCH", "off", ("on", "off")) == "on"
 
 

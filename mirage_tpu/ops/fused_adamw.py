@@ -45,10 +45,16 @@ try:  # pragma: no cover
 except Exception:  # pragma: no cover
     _HAVE_PLTPU = False
 
-# chip A/B override (read once at import, validated): the fused one-pass
-# update measured 22.4 -> 11.7 ms on the isolated ViT-B pretraining pytree
-# (scripts/bench_opt.py, r4 chip)
-_ENABLED = env_choice("MIRAGE_OPT_KERNEL", "on", ("on", "off")) == "on"
+# chip A/B override (read once at import). Default OFF: the isolated
+# micro-bench won (22.4 -> 11.7 ms on the ViT-B pretraining pytree,
+# scripts/bench_opt.py, r4 chip) but the END-TO-END interleaved A/B LOST
+# -6.25 ms/step (-2.93%, on 214.4 vs off 208.2 ms median, ViT-B pretrain
+# B=256, scripts/bench_opt_ab.py, r5 chip 2026-08-19): inside the full
+# donated train step XLA already fuses the optimizer with the dW
+# producers at ~6-8 ms total, and the per-leaf custom calls break those
+# fusions. Kept (tested, numerics-equal) for shard-shaped ZeRO moment
+# leaves and future pytrees where XLA's fusion loses.
+_ENABLED = env_choice("MIRAGE_OPT_KERNEL", "off", ("on", "off")) == "on"
 _LAST_ROUTED = 0
 
 # minimum leaf size to pay a custom call for (the pretraining pytree's

@@ -238,6 +238,7 @@ def test_fused_adamw_kernel_matches_xla():
     state = opt.init(params)
 
     fa.reset_routed_count()  # earlier tests (kernel_sharding) may have routed
+    prev_enabled = fa.enabled()
     fa.set_enabled(False)
     p_x, s_x, gn_x = jax.jit(lambda: opt.update(grads, state, params, 1e-2))()
     assert fa.last_routed_count() == 0
@@ -249,7 +250,7 @@ def test_fused_adamw_kernel_matches_xla():
             p_k, s_k, gn_k = jax.jit(
                 lambda: opt.update(grads, state, params, 1e-2))()
     finally:
-        fa.set_enabled(True)
+        fa.set_enabled(prev_enabled)
     assert fa.last_routed_count() == 1  # only the big leaf routed
 
     for a, b in zip(jax.tree_util.tree_leaves((p_x, s_x["mu"], s_x["nu"])),
