@@ -68,6 +68,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--weights", default=None,
                     help="released .pth; default: random-init tiny")
+    ap.add_argument("--size", default="tiny", choices=("tiny", "base", "large"),
+                    help="random-init model size (ignored with --weights). "
+                         "base/large store NO weights — preds + the key/shape "
+                         "table of a numpy-seeded state dict "
+                         "(tests/test_fullsize_parity.seeded_state_dict), so "
+                         "the ~110/330 M-param artifacts stay a few MB")
     args = ap.parse_args(argv)
 
     from conftest import REFERENCE_PATH, stub_reference_deps
@@ -84,7 +90,33 @@ def main(argv=None):
            "in_slo": inputs["slo"].astype(np.float32),
            "in_bscanlayermap": inputs["bscanlayermap"].astype(np.int32)}
 
-    if args.weights is None:
+    if args.weights is None and args.size in ("base", "large"):
+        import hashlib as _hl
+
+        from test_fullsize_parity import (BASE, GOLD_SEED, LARGE,
+                                          seeded_state_dict)
+        from test_model_parity import build_reference_model
+
+        dims = BASE if args.size == "base" else LARGE
+        model = build_reference_model(REFERENCE_PATH, **dims)
+        ref_sd = model.state_dict()
+        keys_shapes = [(k, tuple(v.shape)) for k, v in ref_sd.items()]
+        sd_np = seeded_state_dict(keys_shapes)
+        model.load_state_dict({k: torch.from_numpy(v)
+                               for k, v in sd_np.items()})
+        h = _hl.sha256()
+        for k in sorted(sd_np):
+            h.update(sd_np[k].tobytes())
+        maxrank = max(len(s) for _, s in keys_shapes)
+        out["sd_keys"] = np.array([k for k, _ in keys_shapes])
+        out["sd_shapes"] = np.array(
+            [list(s) + [-1] * (maxrank - len(s)) for _, s in keys_shapes],
+            np.int64)
+        out["seed"] = np.int64(GOLD_SEED)
+        out["sd_sha256"] = np.array(h.hexdigest())
+        out["model_args"] = np.array(args.size)
+        name = f"example_triplet_{args.size}.npz"
+    elif args.weights is None:
         from test_model_parity import build_reference_model
 
         model = build_reference_model(REFERENCE_PATH)

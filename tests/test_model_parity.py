@@ -23,7 +23,9 @@ DEPTH = 3
 HEADS = 4
 
 
-def build_reference_model(reference_path, with_outputs=True):
+def build_reference_model(reference_path, with_outputs=True,
+                          dim=DIM, depth=DEPTH, heads=HEADS,
+                          dec_dim=64, dec_depth=2, dec_heads=4):
     from functools import partial
 
     from mirage.input_adapters import PatchedInputAdapter, SemSegInputAdapter
@@ -51,7 +53,7 @@ def build_reference_model(reference_path, with_outputs=True):
                 num_channels=13 if d == "bscanlayermap" else 1,
                 stride_level=1,
                 patch_size_full=(8, 8) if d == "bscanlayermap" else (32, 32),
-                dim_tokens=64, depth=2, num_heads=4,
+                dim_tokens=dec_dim, depth=dec_depth, num_heads=dec_heads,
                 use_task_queries=True, task=d, context_tasks=domains,
                 use_xattn=True,
                 image_size=(128, 128) if d == "bscanlayermap" else (512, 512),
@@ -60,12 +62,13 @@ def build_reference_model(reference_path, with_outputs=True):
         }
     torch.manual_seed(0)
     model = MIRAGEModel(args, input_adapters, output_adapters,
-                        dim_tokens=DIM, depth=DEPTH, num_heads=HEADS,
+                        dim_tokens=dim, depth=depth, num_heads=heads,
                         mlp_ratio=4, qkv_bias=True).eval()
     return model
 
 
-def build_our_model(with_outputs=True):
+def build_our_model(with_outputs=True, dim=DIM, depth=DEPTH, heads=HEADS,
+                    dec_dim=64, dec_depth=2, dec_heads=4):
     from mirage_tpu.adapters.input_adapters import PatchedInputAdapter, SemSegInputAdapter
     from mirage_tpu.adapters.spatial_output import SpatialOutputAdapter
     from mirage_tpu.models.mirage import MIRAGEModel
@@ -87,7 +90,7 @@ def build_our_model(with_outputs=True):
                 num_channels=13 if d == "bscanlayermap" else 1,
                 stride_level=1,
                 patch_size_full=(8, 8) if d == "bscanlayermap" else (32, 32),
-                dim_tokens=64, depth=2, num_heads=4,
+                dim_tokens=dec_dim, depth=dec_depth, num_heads=dec_heads,
                 use_task_queries=True, task=d, context_tasks=domains,
                 use_xattn=True,
                 image_size=(128, 128) if d == "bscanlayermap" else (512, 512),
@@ -95,7 +98,7 @@ def build_our_model(with_outputs=True):
             for d in domains
         }
     return MIRAGEModel(input_adapters=input_adapters, output_adapters=output_adapters,
-                       dim_tokens=DIM, depth=DEPTH, num_heads=HEADS, attn_impl="xla")
+                       dim_tokens=dim, depth=depth, num_heads=heads, attn_impl="xla")
 
 
 def make_inputs(rng, batch=1):
