@@ -12,12 +12,76 @@ reassemble/fusion convs (output_adapter_utils.py:49-225,
 output_adapters.py:672-726) and 1x1 head convs.
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+
+from mirage_tpu.utils.envflags import env_choice
+
+# Depthwise-conv backward route — MEASURED NEGATIVE in production, default
+# stays "xla". XLA derives dW as a batch_group_count=C convolution; the r5
+# micro (scripts/bench_dwconv.py, seg-head shape B=8/C=384/128², TPU v5e)
+# measured that lowering at 139-140 ms fwd+bwd in NCHW vs 9.6 ms for the
+# shift-multiply-reduce custom VJP below — but the production head is NHWC
+# (adapters/seg_heads.py:86), where XLA's autodiff runs 4.95 ms fwd+bwd
+# (~3 TF/s over the 14.8 GFLOP of 49-tap work — the documented VPU floor,
+# now pinned by measurement) and the shift VJP REGRESSES to 8.8 ms micro /
+# seg step 62.9→56.2, 100.2→78.7 img/s end-to-end. The 14.7× NCHW win is a
+# layout artifact production never pays. Mechanism kept (grad parity
+# pinned in tests/test_dwconv_vjp.py) for any future NCHW depthwise path.
+_DWCONV_VJP = env_choice("MIRAGE_DWCONV_VJP", "xla", ("shift", "xla"))
 
 
 def _pair(v):
     return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
+
+
+def _dw_nhwc_raw(w, x, pads):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=list(pads),
+        feature_group_count=w.shape[0],
+        dimension_numbers=("NHWC", "OIHW", "NHWC"))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dwconv_nhwc_shift(w, x, pads):
+    """Stride-1 NHWC depthwise conv, w (C,1,kH,kW), symmetric pads — forward
+    identical to the XLA route; only the VJP differs (reassociation only)."""
+    return _dw_nhwc_raw(w, x, pads)
+
+
+def _dw_shift_fwd(w, x, pads):
+    return _dw_nhwc_raw(w, x, pads), (w, x)
+
+
+def _dw_shift_bwd(pads, res, dy):
+    w, x = res
+    c, _, kh, kw = w.shape
+    (pt, pb), (pl, pr) = pads
+    # dX: grouped conv of dy with the spatially-flipped kernel (the standard
+    # transpose of a stride-1 conv), padding k-1-p
+    wf = jnp.flip(w, axis=(-2, -1))
+    dx = jax.lax.conv_general_dilated(
+        dy, wf, window_strides=(1, 1),
+        padding=[(kh - 1 - pt, kh - 1 - pb), (kw - 1 - pl, kw - 1 - pr)],
+        feature_group_count=c, dimension_numbers=("NHWC", "OIHW", "NHWC"))
+    # dW[c,0,ky,kx] = Σ_bhw xpad[b,h+ky,w+kx,c]·dy[b,h,w,c]: kh·kw shifted
+    # multiply-reduces. Channels stay in the lane dim, each tap is one
+    # VPU-friendly f32 reduction — this replaces XLA's batch_group_count=C
+    # conv lowering (the 14.7× micro loss above).
+    xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+    b, oh, ow, _ = dy.shape
+    taps = []
+    for ky in range(kh):
+        for kx in range(kw):
+            sl = jax.lax.slice(xp, (0, ky, kx, 0), (b, ky + oh, kx + ow, c))
+            taps.append(jnp.sum((sl * dy).astype(jnp.float32), axis=(0, 1, 2)))
+    dw = jnp.stack(taps, axis=-1).reshape(c, 1, kh, kw).astype(w.dtype)
+    return dw, dx
+
+
+_dwconv_nhwc_shift.defvjp(_dw_shift_fwd, _dw_shift_bwd)
 
 
 def conv2d_init(key, in_channels, out_channels, kernel_size, *, groups=1,
@@ -44,10 +108,16 @@ def conv2d(p, x, *, stride=1, padding=0, groups=1, dilation=1,
     pad = _pair(padding)
     fmt = "NHWC" if channels_last else "NCHW"
     w = p["w"].astype(x.dtype)
-    y = jax.lax.conv_general_dilated(
-        x, w, window_strides=s, padding=[(pad[0], pad[0]), (pad[1], pad[1])],
-        rhs_dilation=d, feature_group_count=groups,
-        dimension_numbers=(fmt, "OIHW", fmt))
+    if (_DWCONV_VJP == "shift" and channels_last and groups > 1
+            and s == (1, 1) and d == (1, 1)
+            and w.shape[0] == groups and w.shape[1] == 1
+            and x.shape[-1] == groups):
+        y = _dwconv_nhwc_shift(w, x, ((pad[0], pad[0]), (pad[1], pad[1])))
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=s, padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+            rhs_dilation=d, feature_group_count=groups,
+            dimension_numbers=(fmt, "OIHW", fmt))
     if "b" in p:
         b = p["b"].astype(y.dtype)
         y = y + (b if channels_last else b.reshape(1, -1, 1, 1))

@@ -3,8 +3,13 @@
 XLA's depthwise dW gradient is a batch_group_count=C convolution whose
 cost_analysis flop count is inflated ~C x (scripts/flops.py round-3 finding);
 this measures whether the TPU BACKEND also executes it slowly. Variants:
-  autodiff  — jax.grad through lax.conv (the production path today)
-  shiftvjp  — custom VJP: dX as grouped conv, dW as 49 shift-multiply-reduce
+  autodiff       — jax.grad through lax.conv, NCHW
+  shiftvjp       — custom VJP: dX grouped conv, dW as 49 shift-multiply-reduce
+  nhwc-autodiff  — jax.grad through the PRODUCTION layout (conv2d_nhwc — the
+                   seg head is NHWC end-to-end, adapters/seg_heads.py:86)
+  nhwc-shiftvjp  — nn/conv.dwconv7_nhwc (the wired production custom VJP)
+
+r5 chip result: NCHW 140.4 -> 9.6 ms (14.7x), NHWC autodiff vs shift below.
 """
 import functools
 import sys, os, time
@@ -72,6 +77,19 @@ def bench(tag, f, *args, iters=20):
     return dw, dx
 
 
+def dwconv_nhwc_autodiff(w, x):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=[(3, 3), (3, 3)],
+        feature_group_count=w.shape[0],
+        dimension_numbers=("NHWC", "OIHW", "NHWC"))
+
+
+def dwconv_nhwc_shift(w, x):
+    from mirage_tpu.nn.conv import _dwconv_nhwc_shift
+
+    return _dwconv_nhwc_shift(w, x, ((3, 3), (3, 3)))
+
+
 if __name__ == "__main__":
     rng = np.random.default_rng(0)
     B, C, H = 8, 384, 128
@@ -84,3 +102,11 @@ if __name__ == "__main__":
                                    rtol=1e-1),
           " dx close:", np.allclose(np.asarray(dx_a, np.float32),
                                     np.asarray(dx_s, np.float32), atol=1e-2))
+    xl = jnp.transpose(x, (0, 2, 3, 1))  # production layout (seg head is NHWC)
+    dw_na, dx_na = bench("nhwc-autodiff", dwconv_nhwc_autodiff, w, xl)
+    dw_ns, dx_ns = bench("nhwc-shiftvjp", dwconv_nhwc_shift, w, xl)
+    print("nhwc dw close:", np.allclose(np.asarray(dw_na, np.float32),
+                                        np.asarray(dw_ns, np.float32),
+                                        atol=2e-1, rtol=1e-1),
+          " dx close:", np.allclose(np.asarray(dx_na, np.float32),
+                                    np.asarray(dx_ns, np.float32), atol=1e-2))
