@@ -1,4 +1,8 @@
-"""Capture an xplane trace of the bench step and print top device ops."""
+"""Capture an xplane trace of the bench.py headline step and print top
+device ops — the inference equivalent of trace_pretrain.py (VERDICT r4
+weak #6: account the flagship step's residual per component, as done for
+training). Usage: python scripts/trace_top.py [batch] (default 512, the
+headline batch)."""
 import sys, os, glob, collections
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
@@ -6,12 +10,12 @@ import jax
 import jax.numpy as jnp
 
 def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     from __graft_entry__ import _build_mirage
     model = _build_mirage("large", img=512, layermap=128, compute_dtype=jnp.bfloat16)
     params = model.init_params(jax.random.PRNGKey(0))
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
-    B = 64
     rng = np.random.default_rng(0)
     x = {"bscan": jnp.asarray(rng.random((B, 1, 512, 512)), jnp.float32),
          "slo": jnp.zeros((B, 1, 512, 512), jnp.float32),
@@ -52,7 +56,9 @@ def main():
                 name = ev_meta.get(ev.metadata_id, "?")
                 tot[name] += ev.duration_ps
                 n[name] += 1
-            for name, ps in tot.most_common(18):
+            total_ms = sum(tot.values()) / 1e9 / 3
+            print(f"batch {B}: device total {total_ms:.1f} ms/step", flush=True)
+            for name, ps in tot.most_common(30):
                 print(f"{ps/1e9/3:9.3f} ms x{n[name]:4d}  {name[:105]}", flush=True)
 
 if __name__ == "__main__":
