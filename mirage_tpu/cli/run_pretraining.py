@@ -253,20 +253,37 @@ def main(argv=None):
 
     args.model = pick_model_from_weights(args)
     model = build_model(args)
-    from mirage_tpu.train.steps import _FSDP_STEP
-    gspmd_shards = args.mesh_tensor > 1 or (
-        args.mesh_fsdp > 1 and _FSDP_STEP == "gspmd")
+    import dataclasses
+
+    from mirage_tpu.train.steps import _FSDP_STEP, _TP_STEP
+    tp_shardmap = (mesh.size > 1 and args.mesh_tensor > 1
+                   and args.mesh_fsdp == 1 and _TP_STEP == "shardmap")
+    if tp_shardmap:
+        # Megatron shard_map TP step (train/steps._make_tp_train_step):
+        # encoder weights shard over 'tensor', Pallas kernels ENGAGED on
+        # shard-local operands (parallel/tp.py). The GSPMD alternative
+        # below costs a measured 25-33%/chip (BASELINE.md round 5).
+        t = args.mesh_tensor
+        hidden = int(model.dim_tokens * model.mlp_ratio)
+        if model.num_heads % t or hidden % t:
+            sys.exit(f"--mesh_tensor {t} must divide num_heads "
+                     f"({model.num_heads}) and the MLP hidden dim ({hidden})")
+        print(f">> tensor mesh: Megatron shard_map step, {t}-way "
+              f"head/hidden-parallel encoder (kernels engaged)")
+        model = dataclasses.replace(model, tp=("tensor", t))
+    gspmd_shards = (args.mesh_tensor > 1 and not tp_shardmap) or (
+        args.mesh_fsdp > 1 and (_FSDP_STEP == "gspmd" or args.mesh_tensor > 1))
     if mesh.size > 1 and gspmd_shards:
         # GSPMD-sharded params: the fused kernels cannot engage (a
         # pallas_call with sharded operands is a hard Mosaic error, and
         # in-kernel LN/matmuls can't span a sharded D) — force the XLA
         # compute path up front instead of failing at compile. fsdp-only
-        # meshes do NOT hit this: they take the shard_map ZeRO step
-        # (train/steps._make_fsdp_train_step), kernels engaged.
-        import dataclasses
-
+        # and tensor-only meshes do NOT hit this: they take the shard_map
+        # ZeRO / Megatron steps (train/steps.py), kernels engaged; only
+        # combined fsdp x tensor meshes (and the env escape hatches)
+        # remain GSPMD.
         if model.attn_impl != "xla":
-            print(">> tensor/GSPMD-sharded mesh: forcing attn_impl='xla' "
+            print(">> GSPMD-sharded mesh: forcing attn_impl='xla' "
                   "(fused kernels require shard_map — parallel/mesh.py)")
             model = dataclasses.replace(model, attn_impl="xla")
     params = model.init_params(jax.random.PRNGKey(args.seed))
@@ -321,8 +338,10 @@ def main(argv=None):
                                  alphas=args.alphas,
                                  sample_tasks_uniformly=args.sample_tasks_uniformly,
                                  loss_on_unmasked=args.loss_on_unmasked)
-    # mesh routing: dp-only meshes take the shard_map step (Pallas kernels
-    # engage per-device); fsdp/tensor meshes keep GSPMD (steps.py note)
+    # mesh routing: dp-only, fsdp-only and tensor-only meshes all take
+    # shard_map steps with the Pallas kernels engaged (dp / ZeRO-FSDP /
+    # Megatron-TP, train/steps.py); combined fsdp x tensor meshes keep
+    # GSPMD with attn_impl='xla'
     step_fn = make_train_step(loss_fn, opt, mesh=mesh)
 
     state = init_train_state(params, opt)
@@ -332,7 +351,10 @@ def main(argv=None):
         state, start_epoch = ckpt.auto_load_checkpoint(args.output_dir, state)
         if start_epoch:
             print(f">> Resumed from epoch {start_epoch}")
-    state = shard_state(state, mesh)
+    # tensor-only shardmap meshes: shard_state tp_relayout's the qkv leaves
+    # (head-group-major) before sharding — checkpoints stay in the standard
+    # layout (the save below inverts it)
+    state = shard_state(state, mesh, tp_num_heads=model.num_heads)
 
     # multi-host: only process 0 writes shared-output_dir artifacts
     is_writer = jax.process_index() == 0
@@ -376,7 +398,12 @@ def main(argv=None):
                 # (device_get would raise) and PNGs are a single-host debug
                 # aid — skip rather than crash
                 if debug_fwd is None:
-                    debug_fwd = jax.jit(lambda p, b, r: model(
+                    # single-device debug forward: a tp model's in-block
+                    # collectives only exist inside shard_map — strip tp
+                    # (the host params get unrelayouted below to match)
+                    dbg_model = dataclasses.replace(model, tp=None) \
+                        if model.tp is not None else model
+                    debug_fwd = jax.jit(lambda p, b, r: dbg_model(
                         p, b, mask_inputs=True,
                         num_encoded_tokens=args.num_encoded_tokens, rng=r))
                 # debug dumps need a handful of images: run unsharded on a
@@ -387,6 +414,11 @@ def main(argv=None):
                 dbg_params = jax.tree_util.tree_map(
                     lambda x: jnp.asarray(jax.device_get(x)),
                     state["params"]) if mesh.size > 1 else state["params"]
+                if tp_shardmap:
+                    from mirage_tpu.parallel.tp import tp_unrelayout
+
+                    dbg_params = tp_unrelayout(dbg_params, model.num_heads,
+                                               args.mesh_tensor)
                 preds, masks = debug_fwd(dbg_params, dbg_batch,
                                          jax.random.PRNGKey(epoch))
                 save_debug_images(args.output_dir, epoch, dbg_batch, preds,
@@ -400,6 +432,21 @@ def main(argv=None):
             # process 0 alone writes to the shared output_dir — concurrent
             # orbax writes / log appends corrupt the artifacts
             host_state = jax.device_get(state)
+            if tp_shardmap:
+                # undo the head-group-major qkv permutation so the saved
+                # checkpoint keeps the standard [3, H, dh] layout (interop
+                # with .pth conversion, resume on any mesh)
+                from mirage_tpu.parallel.tp import tp_unrelayout
+
+                t = args.mesh_tensor
+                host_state = {
+                    "params": tp_unrelayout(host_state["params"],
+                                            model.num_heads, t),
+                    "opt": {k: (tp_unrelayout(v, model.num_heads, t)
+                                if k in ("mu", "nu") else v)
+                            for k, v in host_state["opt"].items()},
+                    "step": host_state["step"],
+                }
             ckpt.save_checkpoint(args.output_dir, host_state, epoch, args=vars(args))
         if is_writer:
             append_log(args.output_dir, {

@@ -50,6 +50,7 @@ def encoder_apply(
     return_layers: Optional[Sequence[int]] = None,
     remat: bool = False,
     grad_free: bool = False,
+    tp=None,
 ):
     """Run the block stack. If `return_layers` is given, returns
     (final_tokens, {layer_idx: tokens}) using an unrolled loop (needed by the
@@ -70,7 +71,7 @@ def encoder_apply(
                             drop=drop, attn_drop=attn_drop,
                             drop_path_rate=float(dpr[i]),
                             deterministic=deterministic, rng=r,
-                            grad_free=grad_free)
+                            grad_free=grad_free, tp=tp)
             if i in return_layers:
                 outs[i] = x
         return x, outs
@@ -88,7 +89,7 @@ def encoder_apply(
         key = xs.pop(0) if not deterministic else None
         fn = partial(block_apply, num_heads=num_heads, impl=impl, drop=drop,
                      attn_drop=attn_drop, deterministic=deterministic,
-                     grad_free=grad_free)
+                     grad_free=grad_free, tp=tp)
         if remat:
             # Selective remat: SAVE the inter-half activation (named in
             # block_apply's fused path) — the half-block Pallas backwards
@@ -104,7 +105,7 @@ def encoder_apply(
                 lambda p_, c_, rate_, key_: block_apply(
                     p_, c_, num_heads, impl=impl, drop=drop, attn_drop=attn_drop,
                     drop_path_rate=rate_, deterministic=deterministic, rng=key_,
-                    grad_free=grad_free),
+                    grad_free=grad_free, tp=tp),
                 static_argnums=(2,) if not thread_rates else (),
                 policy=jax.checkpoint_policies.save_only_these_names(
                     "attn_half_out"))

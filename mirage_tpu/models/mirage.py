@@ -58,6 +58,13 @@ class MIRAGEModel:
     compute_dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    # Tensor parallelism: ('tensor', t) runs the encoder blocks in the
+    # Megatron head/hidden-parallel form (nn/block._tp_block_apply) — the
+    # params must be tp_relayout'ed + sharded per parallel/tp.py and the
+    # forward must execute inside a shard_map over that axis
+    # (train/steps._make_tp_train_step builds this automatically for
+    # tensor-only meshes). None = ordinary single-shard encoder.
+    tp: Any = None
 
     # ------------------------------------------------------------------ init
 
@@ -237,7 +244,8 @@ class MIRAGEModel:
                 params["encoder"], input_tokens, self.num_heads, depth=self.depth,
                 impl=self.attn_impl, drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                 drop_path_rate=self.drop_path_rate, deterministic=deterministic,
-                rng=enc_rng, return_layers=tuple(range(self.depth)), remat=self.remat)
+                rng=enc_rng, return_layers=tuple(range(self.depth)), remat=self.remat,
+                tp=self.tp)
             # (model.py:393-406): all-layer spatial features, global dropped
             first = task_order[0]
             gh, gw = input_info["tasks"][first]["grid_size"]
@@ -251,7 +259,7 @@ class MIRAGEModel:
             params["encoder"], input_tokens, self.num_heads, depth=self.depth,
             impl=self.attn_impl, drop=self.drop_rate, attn_drop=self.attn_drop_rate,
             drop_path_rate=self.drop_path_rate, deterministic=deterministic,
-            rng=enc_rng, remat=self.remat)
+            rng=enc_rng, remat=self.remat, tp=self.tp)
 
         if self.output_adapters is None:
             if reshape:
@@ -327,7 +335,7 @@ class MIRAGEModel:
                 impl=self.attn_impl, drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                 drop_path_rate=self.drop_path_rate, deterministic=deterministic,
                 rng=rng, return_layers=tuple(range(self.depth)), remat=self.remat,
-                grad_free=frozen_encoder)
+                grad_free=frozen_encoder, tp=self.tp)
             encoder_tokens = [layer_outs[i] for i in range(self.depth)]
             if frozen_encoder:
                 encoder_tokens = [jax.lax.stop_gradient(t) for t in encoder_tokens]
@@ -337,7 +345,7 @@ class MIRAGEModel:
                 params["encoder"], tokens, self.num_heads, depth=self.depth,
                 impl=self.attn_impl, drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                 drop_path_rate=self.drop_path_rate, deterministic=deterministic,
-                rng=rng, remat=self.remat, grad_free=frozen_encoder)
+                rng=rng, remat=self.remat, grad_free=frozen_encoder, tp=self.tp)
             if frozen_encoder:
                 final = jax.lax.stop_gradient(final)
             encoder_tokens = final

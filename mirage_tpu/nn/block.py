@@ -12,12 +12,15 @@ from jax.ad_checkpoint import checkpoint_name
 
 from mirage_tpu.nn.attention import (
     _on_tpu,
+    _use_block_kernel,
     attention_apply,
     attention_init,
     cross_attention_apply,
     cross_attention_init,
 )
-from mirage_tpu.nn.layers import drop_path, layer_norm, layer_norm_init, mlp_apply, mlp_init
+from mirage_tpu.nn.layers import (drop_path, gelu, layer_norm,
+                                  layer_norm_init, linear, mlp_apply,
+                                  mlp_init)
 
 
 def block_init(key, dim, mlp_ratio=4.0, qkv_bias=False, dtype=jnp.float32):
@@ -32,7 +35,12 @@ def block_init(key, dim, mlp_ratio=4.0, qkv_bias=False, dtype=jnp.float32):
 
 def block_apply(p, x, num_heads, *, impl="auto", drop=0.0, attn_drop=0.0,
                 drop_path_rate=0.0, deterministic=True, rng: Optional[jax.Array] = None,
-                grad_free=False):
+                grad_free=False, tp=None):
+    if tp is not None:
+        return _tp_block_apply(
+            p, x, num_heads, tp, impl=impl, drop=drop, attn_drop=attn_drop,
+            drop_path_rate=drop_path_rate, deterministic=deterministic,
+            rng=rng, grad_free=grad_free)
     r = [None] * 4
     if rng is not None:
         r = list(jax.random.split(rng, 4))
@@ -121,6 +129,77 @@ def block_apply(p, x, num_heads, *, impl="auto", drop=0.0, attn_drop=0.0,
     h = mlp_apply(p["mlp"], h, dropout_rate=drop, deterministic=deterministic, rng=r[2])
     x = x + drop_path(h, drop_path_rate, deterministic=deterministic, rng=r[3])
     return x
+
+
+def _tp_block_apply(p, x, num_heads, tp, *, impl, drop, attn_drop,
+                    drop_path_rate, deterministic, rng, grad_free):
+    """Tensor-parallel encoder block (must run inside a shard_map over the
+    tp axis; parallel/tp.py module docstring has the full design).
+
+    The block's two branches are computed shard-locally from the device's
+    param shards — attention head-parallel (local qkv columns are a
+    standard-layout [3, H/t, dh] weight after tp_relayout, so the fused
+    block_attention kernel runs unchanged on H/t heads; ops kernels derive
+    dims from the qkv width), MLP hidden-parallel (the no-residual fused
+    MLP kernel is hidden-dim generic) — and completed by one psum each.
+    proj/fc2 biases are replicated params added AFTER the psum (a zero
+    stands in inside the branch), so their grads keep plain replicated
+    semantics. Dropout/attn-dropout must be statically zero (a mask drawn
+    per shard over partial sums has no single-device equivalent; every
+    reference pretraining/cls config uses 0.0) — drop-path is fine: it
+    scales the COMPLETED branch with the shard-shared rng."""
+    from mirage_tpu.parallel.tp import ident_f, psum_g
+
+    assert drop == 0.0 and attn_drop == 0.0, \
+        "tensor-parallel blocks require drop == attn_drop == 0.0"
+    axis, t = tp
+    heads_local = num_heads // t
+    assert heads_local * t == num_heads
+    r = [None] * 2
+    if rng is not None:
+        r = list(jax.random.split(rng, 2))
+    b, n, c = x.shape
+
+    # ---- attention half: head-parallel ----
+    h = layer_norm(p["norm1"], ident_f(x, axis))
+    qkv_flat = linear(p["attn"]["qkv"], h)           # (B, N, 3*D/t)
+    dim_local = qkv_flat.shape[-1] // 3
+    dh = dim_local // heads_local
+    scale = dh ** -0.5
+    if _use_block_kernel(impl, n, attn_drop, deterministic, dh):
+        from mirage_tpu.ops.block_attention import block_attention
+
+        out = block_attention(qkv_flat, heads_local, scale)
+    else:
+        from mirage_tpu.nn.attention import _merge_heads, sdpa
+
+        qkv = qkv_flat.reshape(b, n, 3, heads_local, dh).transpose(2, 0, 3, 1, 4)
+        out = _merge_heads(sdpa(qkv[0], qkv[1], qkv[2], scale, impl=impl,
+                                deterministic=deterministic))
+    part = out @ p["attn"]["proj"]["w"].astype(out.dtype)
+    attn_out = psum_g(part, axis) + p["attn"]["proj"]["b"].astype(part.dtype)
+    x = x + drop_path(attn_out, drop_path_rate, deterministic=deterministic,
+                      rng=r[0])
+    x = checkpoint_name(x, "attn_half_out")
+
+    # ---- MLP half: hidden-parallel ----
+    xf = ident_f(x, axis)
+    if (impl in ("auto", "block") and (grad_free or n <= 512) and _on_tpu()):
+        from mirage_tpu.ops.fused_mlp import mlp_block
+
+        fc2_w = p["mlp"]["fc2"]["w"]
+        zero_b = jnp.zeros_like(p["mlp"]["fc2"]["b"])
+        part = mlp_block(xf, p["norm2"],
+                         {"fc1": p["mlp"]["fc1"],
+                          "fc2": {"w": fc2_w, "b": zero_b}},
+                         grad_free=grad_free, residual=False)
+    else:
+        h = layer_norm(p["norm2"], xf)
+        h = gelu(linear(p["mlp"]["fc1"], h))
+        part = h @ p["mlp"]["fc2"]["w"].astype(h.dtype)
+    mlp_out = psum_g(part, axis) + p["mlp"]["fc2"]["b"].astype(part.dtype)
+    return x + drop_path(mlp_out, drop_path_rate, deterministic=deterministic,
+                         rng=r[1])
 
 
 def decoder_block_init(key, dim, mlp_ratio=4.0, qkv_bias=False, dtype=jnp.float32):

@@ -41,6 +41,13 @@ _LOSS_SPACE = _env_choice("MIRAGE_LOSS_SPACE", "token", ("pixel", "token"))
 # (the r4 state of the world — kept as an escape hatch / A-B handle).
 _FSDP_STEP = _env_choice("MIRAGE_FSDP_STEP", "shardmap", ("shardmap", "gspmd"))
 
+# Tensor-only meshes (tensor>1, fsdp==1): 'shardmap' runs the Megatron-style
+# head/hidden-parallel step with the Pallas kernels ENGAGED
+# (_make_tp_train_step — the model must be built with tp=('tensor', t);
+# the pretraining CLI does this); 'gspmd' keeps the GSPMD jit with
+# attn_impl='xla' (the r4 behavior, kept as escape hatch / A-B handle).
+_TP_STEP = _env_choice("MIRAGE_TP_STEP", "shardmap", ("shardmap", "gspmd"))
+
 
 def make_pretrain_loss(model, domain_conf: Mapping[str, Mapping[str, Any]],
                        num_encoded_tokens: int, alphas=1.0,
@@ -115,11 +122,14 @@ def make_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
 
     if mesh is not None and mesh.size > 1:
         from mirage_tpu.parallel.mesh import is_dp_only, is_fsdp_only
+        from mirage_tpu.parallel.tp import is_tp_only
 
         if is_dp_only(mesh):
             return _make_dp_train_step(loss_fn, optimizer, mesh, donate)
         if is_fsdp_only(mesh) and _FSDP_STEP == "shardmap":
             return _make_fsdp_train_step(loss_fn, optimizer, mesh, donate)
+        if is_tp_only(mesh) and _TP_STEP == "shardmap":
+            return _make_tp_train_step(loss_fn, optimizer, mesh, donate)
 
     # Sharding is data-driven: place `state` with shard_state() and `batch`
     # with shard_batch(); jit infers output shardings via GSPMD propagation.
@@ -279,23 +289,139 @@ def _make_fsdp_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
     return stepper
 
 
+def _make_tp_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
+                        mesh, donate: bool):
+    """Megatron-style tensor-parallel train step via shard_map — Pallas
+    kernels ENGAGED (parallel/tp.py module docstring has the design).
+
+    Contract: ``loss_fn`` must close over a model built with
+    ``tp=('tensor', t)`` (nn/block._tp_block_apply inserts the in-block
+    ident_f/psum_g collectives), and the state must be placed with
+    shard_state, which tp_relayout's the fused-qkv leaves and shards the
+    six encoder weight families over 'tensor' (tp_param_specs). Activations
+    and the batch are replicated over 'tensor' (the batch shards over
+    ('data','fsdp') as everywhere else) and the rng folds by the
+    ('data','fsdp') index only, so all t shards of one data position draw
+    identical masks — the step is semantically the dp step with the
+    encoder's weight axes split t ways.
+
+    Gradient reductions by tp_grad_kind: sharded leaves arrive
+    shard-complete ('local' — pmean over the batch axes only), in-block
+    LayerNorm grads arrive per-branch partial ('partial' — psum over
+    'tensor' first), everything else is complete and shard-identical
+    ('replicated'). clip/skip uses the true global norm (sharded leaves'
+    sq-sums psum over 'tensor'); the optimizer updates local shards
+    (ZeRO-style optimizer-state sharding over 'tensor' for free)."""
+    from jax import shard_map
+    from mirage_tpu.parallel.tp import tp_grad_kind, tp_param_specs
+
+    batch_axes = ("data", "fsdp")
+    cache = {}
+
+    def build(state, batch):
+        pspecs = tp_param_specs(state["params"], mesh)
+        kinds = tp_grad_kind(state["params"])
+
+        def local_step(state, batch, rng, lr, wd_scale):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(batch_axes))
+
+            def wrapped(params, batch, rng):
+                return loss_fn(optimizer.stop_frozen(params), batch, rng)
+
+            (loss, task_losses), grads = jax.value_and_grad(
+                wrapped, has_aux=True)(state["params"], batch, rng)
+
+            def reduce_g(g, kind):
+                if kind == "partial":
+                    g = jax.lax.psum(g, "tensor")
+                return jax.lax.pmean(g, batch_axes)
+
+            grads = jax.tree_util.tree_map(reduce_g, grads, kinds)
+            loss, task_losses = jax.lax.pmean((loss, task_losses), batch_axes)
+
+            f32sq = lambda x: jnp.sum(jnp.square(x.astype(jnp.float32)))
+            sq_sh = jnp.float32(0)
+            sq_rep = jnp.float32(0)
+            for g, kind in zip(jax.tree_util.tree_leaves(grads),
+                               jax.tree_util.tree_leaves(kinds)):
+                if kind == "local":
+                    sq_sh = sq_sh + f32sq(g)
+                else:
+                    sq_rep = sq_rep + f32sq(g)
+            gnorm = jnp.sqrt(jax.lax.psum(sq_sh, "tensor") + sq_rep)
+
+            params, opt_state, _ = optimizer.update(
+                grads, state["opt"], state["params"], lr, wd_scale,
+                gnorm=gnorm)
+            new_state = {"params": params, "opt": opt_state,
+                         "step": state["step"] + 1}
+            metrics = {"loss": loss, "grad_norm": gnorm}
+            metrics.update({f"loss_{k}": v for k, v in task_losses.items()})
+            return new_state, metrics
+
+        mspecs = jax.tree_util.tree_map(
+            lambda m, sp: sp if m.ndim else P(), state["opt"]["mu"], pspecs)
+        state_specs = {
+            "params": pspecs,
+            "opt": {k: (mspecs if k in ("mu", "nu") else P())
+                    for k in state["opt"]},
+            "step": P(),
+        }
+        batch_specs = jax.tree_util.tree_map(lambda _: P(batch_axes), batch)
+        step = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(state_specs, batch_specs, P(), P(), P()),
+            out_specs=(state_specs, P()),
+            check_vma=False)
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def stepper(state, batch, rng, lr, wd_scale):
+        if "fn" not in cache:
+            cache["fn"] = build(state, batch)
+        return cache["fn"](state, batch, rng, lr, wd_scale)
+
+    # exposed for AOT export checks (see _make_fsdp_train_step)
+    stepper.build = build
+    return stepper
+
+
 def init_train_state(params, optimizer: GroupedOptimizer):
     return {"params": params, "opt": optimizer.init(params),
             "step": jnp.zeros((), jnp.int32)}
 
 
-def shard_state(state, mesh):
+def shard_state(state, mesh, tp_num_heads=None):
     """Place the train state on the mesh: params (and adam moments) per
     param_specs, scalars replicated. Data-parallel-only meshes replicate
     everything (the shard_map dp step needs whole-param programs per
     device; param_specs' size-1 fsdp/tensor axes would be equivalent, but
-    explicit replication keeps the placement obvious)."""
+    explicit replication keeps the placement obvious).
+
+    tp_num_heads: required on tensor-only meshes taking the shard_map TP
+    step — the encoder's num_heads, needed to permute the fused-qkv leaves
+    head-group-major before sharding (parallel/tp.tp_relayout)."""
     from mirage_tpu.parallel.mesh import (fsdp_param_specs, is_dp_only,
                                           is_fsdp_only, replicate)
+    from mirage_tpu.parallel.tp import (is_tp_only, tp_param_specs,
+                                        tp_relayout)
 
     if mesh.size > 1 and is_dp_only(mesh):
         return replicate(state, mesh)
-    if mesh.size > 1 and is_fsdp_only(mesh) and _FSDP_STEP == "shardmap":
+    if mesh.size > 1 and is_tp_only(mesh) and _TP_STEP == "shardmap":
+        assert tp_num_heads is not None, (
+            "shard_state on a tensor-only mesh needs tp_num_heads (the "
+            "encoder num_heads) to relayout the fused-qkv leaves")
+        t = mesh.shape["tensor"]
+        relayed = {
+            "params": tp_relayout(state["params"], tp_num_heads, t),
+            "opt": {k: (tp_relayout(v, tp_num_heads, t)
+                        if k in ("mu", "nu") else v)
+                    for k, v in state["opt"].items()},
+            "step": state["step"],
+        }
+        state = relayed
+        pspecs = tp_param_specs(state["params"], mesh)
+    elif mesh.size > 1 and is_fsdp_only(mesh) and _FSDP_STEP == "shardmap":
         # ZeRO layout for the shard_map FSDP step: params/moments sharded
         # over 'fsdp' on their last axis, everything else replicated.
         pspecs = fsdp_param_specs(state["params"], mesh)
