@@ -257,10 +257,12 @@ def main(argv=None):
 
     from mirage_tpu.train.steps import _FSDP_STEP, _TP_STEP
     tp_shardmap = (mesh.size > 1 and args.mesh_tensor > 1
-                   and args.mesh_fsdp == 1 and _TP_STEP == "shardmap")
+                   and _TP_STEP == "shardmap"
+                   and (args.mesh_fsdp == 1 or _FSDP_STEP == "shardmap"))
     if tp_shardmap:
-        # Megatron shard_map TP step (train/steps._make_tp_train_step):
-        # encoder weights shard over 'tensor', Pallas kernels ENGAGED on
+        # Megatron shard_map TP step (train/steps._make_tp_train_step, or
+        # the composed TP x ZeRO step when fsdp > 1 too): encoder weights
+        # shard over 'tensor' (and 'fsdp'), Pallas kernels ENGAGED on
         # shard-local operands (parallel/tp.py). The GSPMD alternative
         # below costs a measured 25-33%/chip (BASELINE.md round 5).
         t = args.mesh_tensor
@@ -268,20 +270,22 @@ def main(argv=None):
         if model.num_heads % t or hidden % t:
             sys.exit(f"--mesh_tensor {t} must divide num_heads "
                      f"({model.num_heads}) and the MLP hidden dim ({hidden})")
-        print(f">> tensor mesh: Megatron shard_map step, {t}-way "
-              f"head/hidden-parallel encoder (kernels engaged)")
+        kind = ("Megatron+ZeRO shard_map step"
+                if args.mesh_fsdp > 1 else "Megatron shard_map step")
+        print(f">> tensor mesh: {kind}, {t}-way head/hidden-parallel "
+              f"encoder (kernels engaged)")
         model = dataclasses.replace(model, tp=("tensor", t))
     gspmd_shards = (args.mesh_tensor > 1 and not tp_shardmap) or (
-        args.mesh_fsdp > 1 and (_FSDP_STEP == "gspmd" or args.mesh_tensor > 1))
+        args.mesh_fsdp > 1 and args.mesh_tensor == 1
+        and _FSDP_STEP == "gspmd")
     if mesh.size > 1 and gspmd_shards:
         # GSPMD-sharded params: the fused kernels cannot engage (a
         # pallas_call with sharded operands is a hard Mosaic error, and
         # in-kernel LN/matmuls can't span a sharded D) — force the XLA
-        # compute path up front instead of failing at compile. fsdp-only
-        # and tensor-only meshes do NOT hit this: they take the shard_map
-        # ZeRO / Megatron steps (train/steps.py), kernels engaged; only
-        # combined fsdp x tensor meshes (and the env escape hatches)
-        # remain GSPMD.
+        # compute path up front instead of failing at compile. fsdp-only,
+        # tensor-only and combined meshes do NOT hit this: they take the
+        # shard_map ZeRO / Megatron / composed steps (train/steps.py),
+        # kernels engaged; only the env escape hatches remain GSPMD.
         if model.attn_impl != "xla":
             print(">> GSPMD-sharded mesh: forcing attn_impl='xla' "
                   "(fused kernels require shard_map — parallel/mesh.py)")
@@ -342,7 +346,7 @@ def main(argv=None):
     # shard_map steps with the Pallas kernels engaged (dp / ZeRO-FSDP /
     # Megatron-TP, train/steps.py); combined fsdp x tensor meshes keep
     # GSPMD with attn_impl='xla'
-    step_fn = make_train_step(loss_fn, opt, mesh=mesh)
+    step_fn = make_train_step(loss_fn, opt, mesh=mesh, tp=tp_shardmap)
 
     state = init_train_state(params, opt)
     del params
@@ -354,7 +358,9 @@ def main(argv=None):
     # tensor-only shardmap meshes: shard_state tp_relayout's the qkv leaves
     # (head-group-major) before sharding — checkpoints stay in the standard
     # layout (the save below inverts it)
-    state = shard_state(state, mesh, tp_num_heads=model.num_heads)
+    state = shard_state(
+        state, mesh,
+        tp_num_heads=model.num_heads if tp_shardmap else None)
 
     # multi-host: only process 0 writes shared-output_dir artifacts
     is_writer = jax.process_index() == 0

@@ -97,9 +97,19 @@ ident_f.defvjp(_ident_f_fwd, _ident_f_bwd)
 
 def is_tp_only(mesh: Mesh) -> bool:
     """Meshes the shard_map TP step covers: tensor > 1, fsdp == 1 (data
-    any). tensor>1 WITH fsdp>1 falls back to GSPMD (the two shardings
-    compete for the same weight axes; composing them is future work)."""
+    any). tensor>1 WITH fsdp>1 takes the composed TP×ZeRO step
+    (_make_tp_fsdp_train_step) instead — see is_tp_fsdp."""
     return mesh.shape.get("tensor", 1) > 1 and mesh.shape.get("fsdp", 1) == 1
+
+
+def is_tp_fsdp(mesh: Mesh) -> bool:
+    """Meshes the composed TP×ZeRO shard_map step covers: tensor > 1 AND
+    fsdp > 1 (data any). Encoder weights shard over BOTH axes (tensor on
+    the Megatron branch axis, fsdp on the orthogonal one — tp_fsdp_specs);
+    big non-encoder leaves ZeRO-shard over 'fsdp' on their last axis; the
+    step all_gathers the fsdp axis per step and runs the TP block compute,
+    kernels engaged."""
+    return mesh.shape.get("tensor", 1) > 1 and mesh.shape.get("fsdp", 1) > 1
 
 
 def _names(path):
@@ -135,6 +145,41 @@ def tp_param_specs(params, mesh: Mesh) -> Dict:
     del mesh
     return jax.tree_util.tree_map_with_path(
         lambda path, _: _tp_leaf_spec(_names(path)), params)
+
+
+def tp_fsdp_specs(params, mesh: Mesh) -> Dict:
+    """Partition specs composing the Megatron tensor sharding with
+    ZeRO-style fsdp sharding (for tensor>1 AND fsdp>1 meshes):
+
+      - tensor-sharded WEIGHTS additionally shard their orthogonal matmul
+        axis over 'fsdp' (qkv/fc1: the D input axis; proj/fc2: the D
+        output axis) when divisible — the step gathers 'fsdp' back before
+        compute (storage-only, like the plain ZeRO step), so the gathered
+        local leaf is exactly the TP step's shard;
+      - tensor-sharded BIASES have no free axis — they stay fsdp-replicated;
+      - everything else takes the plain ZeRO last-axis rule
+        (parallel/mesh._fsdp_leaf_spec: big + divisible leaves only).
+    """
+    from mirage_tpu.parallel.mesh import _fsdp_leaf_spec
+
+    fsdp = mesh.shape.get("fsdp", 1)
+
+    def spec(path, leaf):
+        names = _names(path)
+        tsp = _tp_leaf_spec(names)
+        if tsp == P():
+            return _fsdp_leaf_spec(leaf, fsdp)
+        if getattr(leaf, "ndim", 0) != len(tsp):
+            return tsp  # scalar moment placeholders etc.
+        parts = list(tsp)
+        # the free (non-layer, non-tensor) axis — present only on 3-D
+        # weight leaves; 2-D biases have none
+        free = [i for i in range(1, len(parts)) if parts[i] is None]
+        if free and leaf.shape[free[0]] % fsdp == 0:
+            parts[free[0]] = "fsdp"
+        return P(*parts)
+
+    return jax.tree_util.tree_map_with_path(spec, params)
 
 
 def tp_grad_kind(params) -> Dict:

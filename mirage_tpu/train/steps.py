@@ -85,7 +85,7 @@ def make_pretrain_loss(model, domain_conf: Mapping[str, Mapping[str, Any]],
 
 
 def make_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
-                    mesh=None, donate: bool = True):
+                    mesh=None, donate: bool = True, tp: bool = False):
     """Generic fused step: grads -> optimizer update -> metrics.
 
     state = {'params': ..., 'opt': ..., 'step': int32}
@@ -95,10 +95,16 @@ def make_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
     shard_map step (params replicated per device, batch sharded, grads
     pmean'd over the batch axes) — REQUIRED for the Pallas kernels to
     engage multi-chip (a pallas_call with GSPMD-sharded operands is a hard
-    Mosaic error; see parallel/mesh.dp_shard_map). Meshes that shard params
-    (fsdp/tensor > 1) keep the GSPMD jit — build the model with
-    attn_impl='xla' for those. mesh=None / 1-device meshes use plain jit
-    (identical to before; the single-chip bench path is untouched).
+    Mosaic error; see parallel/mesh.dp_shard_map); fsdp-only meshes take
+    the ZeRO shard_map step. Tensor-sharded meshes take the Megatron
+    shard_map step (and the composed TP x ZeRO step when fsdp > 1 too)
+    ONLY when `tp=True` — the caller promises the loss_fn's model was
+    built with tp=('tensor', t) (the in-block collectives live in the
+    model trace) and the state is placed with shard_state(tp_num_heads=).
+    With tp=False, tensor-sharded meshes keep the GSPMD jit — build the
+    model with attn_impl='xla' for those. mesh=None / 1-device meshes use
+    plain jit (identical to before; the single-chip bench path is
+    untouched).
     """
 
     # GSPMD-sharded steps (fsdp/tensor meshes fall through to the plain jit
@@ -122,14 +128,17 @@ def make_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
 
     if mesh is not None and mesh.size > 1:
         from mirage_tpu.parallel.mesh import is_dp_only, is_fsdp_only
-        from mirage_tpu.parallel.tp import is_tp_only
+        from mirage_tpu.parallel.tp import is_tp_fsdp, is_tp_only
 
         if is_dp_only(mesh):
             return _make_dp_train_step(loss_fn, optimizer, mesh, donate)
         if is_fsdp_only(mesh) and _FSDP_STEP == "shardmap":
             return _make_fsdp_train_step(loss_fn, optimizer, mesh, donate)
-        if is_tp_only(mesh) and _TP_STEP == "shardmap":
+        if tp and is_tp_only(mesh) and _TP_STEP == "shardmap":
             return _make_tp_train_step(loss_fn, optimizer, mesh, donate)
+        if (tp and is_tp_fsdp(mesh) and _TP_STEP == "shardmap"
+                and _FSDP_STEP == "shardmap"):
+            return _make_tp_fsdp_train_step(loss_fn, optimizer, mesh, donate)
 
     # Sharding is data-driven: place `state` with shard_state() and `batch`
     # with shard_batch(); jit infers output shardings via GSPMD propagation.
@@ -385,6 +394,114 @@ def _make_tp_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
     return stepper
 
 
+def _make_tp_fsdp_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
+                             mesh, donate: bool):
+    """Composed Megatron-TP × ZeRO-FSDP shard_map step — Pallas kernels
+    ENGAGED on fully 3-axis ('data','fsdp','tensor') meshes.
+
+    Storage: tp_fsdp_specs — encoder weights sharded over BOTH model axes
+    (tensor on the Megatron branch axis, fsdp on the orthogonal one), big
+    non-encoder leaves ZeRO-sharded over 'fsdp' (last axis), the rest
+    replicated. Compute: each device all_gathers the 'fsdp' axis
+    (fsdp_gather handles arbitrary axes; the gathered leaf is exactly the
+    TP step's tensor shard) and runs the TP block compute — the model must
+    be built with tp=('tensor', t), exactly as in _make_tp_train_step.
+    Autodiff of the gather reduce-scatters weight grads back over 'fsdp';
+    the TP reductions (tp_grad_kind) handle the 'tensor' axis; clip/skip
+    uses the true global norm with per-leaf psums over whichever axes the
+    leaf's gradient is split across."""
+    from jax import shard_map
+    from mirage_tpu.parallel.mesh import fsdp_gather
+    from mirage_tpu.parallel.tp import tp_fsdp_specs, tp_grad_kind
+
+    batch_axes = ("data", "fsdp")
+    n_fsdp = mesh.shape["fsdp"]
+    cache = {}
+
+    def build(state, batch):
+        pspecs = tp_fsdp_specs(state["params"], mesh)
+        kinds = tp_grad_kind(state["params"])
+
+        def local_step(state, batch, rng, lr, wd_scale):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(batch_axes))
+
+            def wrapped(local_params, batch, rng):
+                full = fsdp_gather(local_params, pspecs)
+                return loss_fn(optimizer.stop_frozen(full), batch, rng)
+
+            (loss, task_losses), grads = jax.value_and_grad(
+                wrapped, has_aux=True)(state["params"], batch, rng)
+
+            def reduce_g(g, sp, kind):
+                if kind == "partial":
+                    g = jax.lax.psum(g, "tensor")
+                if sp and "fsdp" in sp:
+                    # arrived psum_scattered over 'fsdp' (the gather's
+                    # transpose): /n_fsdp completes the global batch mean
+                    return jax.lax.pmean(g, "data") / n_fsdp
+                return jax.lax.pmean(g, batch_axes)
+
+            grads = jax.tree_util.tree_map(reduce_g, grads, pspecs, kinds)
+            loss, task_losses = jax.lax.pmean((loss, task_losses), batch_axes)
+
+            # Global grad norm: psum each leaf's sq over whichever axes its
+            # gradient is SPLIT across ('tensor' for tensor-sharded leaves,
+            # 'fsdp' for scattered ones), bucketed so each axis combination
+            # psums once.
+            f32sq = lambda x: jnp.sum(jnp.square(x.astype(jnp.float32)))
+            buckets = {(): jnp.float32(0), ("tensor",): jnp.float32(0),
+                       ("fsdp",): jnp.float32(0),
+                       ("fsdp", "tensor"): jnp.float32(0)}
+            for g, sp, kind in zip(jax.tree_util.tree_leaves(grads),
+                                   jax.tree_util.tree_leaves(pspecs),
+                                   jax.tree_util.tree_leaves(kinds)):
+                axes = ()
+                if sp and "fsdp" in sp:
+                    axes += ("fsdp",)
+                if kind == "local":
+                    axes += ("tensor",)
+                axes = tuple(sorted(axes))
+                buckets[axes] = buckets[axes] + f32sq(g)
+            sq = buckets[()]
+            for axes, v in buckets.items():
+                if axes:
+                    sq = sq + jax.lax.psum(v, axes)
+            gnorm = jnp.sqrt(sq)
+
+            params, opt_state, _ = optimizer.update(
+                grads, state["opt"], state["params"], lr, wd_scale,
+                gnorm=gnorm)
+            new_state = {"params": params, "opt": opt_state,
+                         "step": state["step"] + 1}
+            metrics = {"loss": loss, "grad_norm": gnorm}
+            metrics.update({f"loss_{k}": v for k, v in task_losses.items()})
+            return new_state, metrics
+
+        mspecs = jax.tree_util.tree_map(
+            lambda m, sp: sp if m.ndim else P(), state["opt"]["mu"], pspecs)
+        state_specs = {
+            "params": pspecs,
+            "opt": {k: (mspecs if k in ("mu", "nu") else P())
+                    for k in state["opt"]},
+            "step": P(),
+        }
+        batch_specs = jax.tree_util.tree_map(lambda _: P(batch_axes), batch)
+        step = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(state_specs, batch_specs, P(), P(), P()),
+            out_specs=(state_specs, P()),
+            check_vma=False)
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def stepper(state, batch, rng, lr, wd_scale):
+        if "fn" not in cache:
+            cache["fn"] = build(state, batch)
+        return cache["fn"](state, batch, rng, lr, wd_scale)
+
+    stepper.build = build
+    return stepper
+
+
 def init_train_state(params, optimizer: GroupedOptimizer):
     return {"params": params, "opt": optimizer.init(params),
             "step": jnp.zeros((), jnp.int32)}
@@ -402,15 +519,20 @@ def shard_state(state, mesh, tp_num_heads=None):
     head-group-major before sharding (parallel/tp.tp_relayout)."""
     from mirage_tpu.parallel.mesh import (fsdp_param_specs, is_dp_only,
                                           is_fsdp_only, replicate)
-    from mirage_tpu.parallel.tp import (is_tp_only, tp_param_specs,
+    from mirage_tpu.parallel.tp import (is_tp_fsdp, is_tp_only,
+                                        tp_fsdp_specs, tp_param_specs,
                                         tp_relayout)
 
+    # TP placement is opt-in via tp_num_heads (mirrors make_train_step's
+    # tp flag): tensor-sharded meshes WITHOUT it keep the GSPMD
+    # param_specs placement (attn_impl='xla' models).
+    tp_shardmap = (tp_num_heads is not None and mesh.size > 1
+                   and _TP_STEP == "shardmap"
+                   and (is_tp_only(mesh)
+                        or (is_tp_fsdp(mesh) and _FSDP_STEP == "shardmap")))
     if mesh.size > 1 and is_dp_only(mesh):
         return replicate(state, mesh)
-    if mesh.size > 1 and is_tp_only(mesh) and _TP_STEP == "shardmap":
-        assert tp_num_heads is not None, (
-            "shard_state on a tensor-only mesh needs tp_num_heads (the "
-            "encoder num_heads) to relayout the fused-qkv leaves")
+    if tp_shardmap:
         t = mesh.shape["tensor"]
         relayed = {
             "params": tp_relayout(state["params"], tp_num_heads, t),
@@ -420,7 +542,8 @@ def shard_state(state, mesh, tp_num_heads=None):
             "step": state["step"],
         }
         state = relayed
-        pspecs = tp_param_specs(state["params"], mesh)
+        specs_fn = tp_param_specs if is_tp_only(mesh) else tp_fsdp_specs
+        pspecs = specs_fn(state["params"], mesh)
     elif mesh.size > 1 and is_fsdp_only(mesh) and _FSDP_STEP == "shardmap":
         # ZeRO layout for the shard_map FSDP step: params/moments sharded
         # over 'fsdp' on their last axis, everything else replicated.

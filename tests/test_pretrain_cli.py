@@ -56,11 +56,17 @@ def test_pretraining_cli_runs_and_resumes(tmp_path):
         f"{epochs_logged}")
 
 
-def test_pretraining_cli_gspmd_mesh(tmp_path):
-    """--mesh_fsdp/--mesh_tensor route the step through GSPMD with the
-    fused kernels forced OFF (attn_impl='xla' — a pallas_call with sharded
-    operands is a hard Mosaic error; the dp path uses shard_map instead)."""
+def test_pretraining_cli_gspmd_mesh(tmp_path, monkeypatch):
+    """The GSPMD escape hatch (MIRAGE_TP_STEP=gspmd): a combined
+    fsdp x tensor mesh routes through the GSPMD jit with the fused kernels
+    forced OFF (attn_impl='xla' — a pallas_call with sharded operands is a
+    hard Mosaic error). The DEFAULT path for this mesh is the composed
+    Megatron+ZeRO shard_map step (tests/test_tp_step.py); this pins the
+    documented fallback."""
     from mirage_tpu.cli import run_pretraining
+    from mirage_tpu.train import steps
+
+    monkeypatch.setattr(steps, "_TP_STEP", "gspmd")
 
     rng = np.random.default_rng(1)
     data = tmp_path / "data"

@@ -77,10 +77,12 @@ def test_tp_relayout_roundtrip_and_shard_layout():
 
 def _steps(mesh, model, opt, batch, rng, n=2):
     loss_fn = make_pretrain_loss(model, DOMAIN_CONF, num_encoded_tokens=12)
-    step = make_train_step(loss_fn, opt, mesh=mesh, donate=False)
+    step = make_train_step(loss_fn, opt, mesh=mesh, donate=False,
+                           tp=model.tp is not None)
     params = kernel_model().init_params(jax.random.PRNGKey(0))
-    state = shard_state(init_train_state(params, opt), mesh,
-                        tp_num_heads=model.num_heads)
+    state = shard_state(
+        init_train_state(params, opt), mesh,
+        tp_num_heads=model.num_heads if model.tp is not None else None)
     sb = shard_batch(batch, mesh)
     with mesh:
         for i in range(n):
@@ -159,6 +161,62 @@ def test_tp_state_is_actually_sharded():
                 == leaf.shape[ax] // 2
 
 
+def test_tp_fsdp_step_matches_dp_step_kernels_interpret():
+    """Composed Megatron-TP x ZeRO-FSDP step on the full 3-axis
+    (data=2, fsdp=2, tensor=2) mesh == the dp step on (data=4): the rng
+    folds by the ('data','fsdp') index in both (0..3), the batch shards
+    identically, and the fsdp gather is bit-exact — only the TP split
+    contractions reassociate."""
+    batch = make_batch(8)
+    rng = jax.random.PRNGKey(3)
+
+    with runtime.forced("interpret"):
+        opt = create_optimizer(OptimizerConfig(opt="adamw", weight_decay=0.05,
+                                               clip_grad=1.0))
+        st_dp, m_dp = _steps(
+            make_mesh({"data": 4}, devices=jax.devices()[:4]),
+            kernel_model(), opt, batch, rng)
+        st_c, m_c = _steps(make_mesh({"data": 2, "fsdp": 2, "tensor": 2}),
+                           tp_model(2), opt, batch, rng)
+
+    assert np.isfinite(float(m_c["loss"]))
+    np.testing.assert_allclose(float(m_c["loss"]), float(m_dp["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m_c["grad_norm"]),
+                               float(m_dp["grad_norm"]), rtol=1e-3)
+    got = tp_unrelayout(jax.tree_util.tree_map(np.asarray, st_c["params"]),
+                        kernel_model().num_heads, 2)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(got)[0],
+            jax.tree_util.tree_flatten_with_path(st_dp["params"])[0]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_tp_fsdp_state_sharded_on_both_axes():
+    """tp_fsdp_specs: encoder weights shard over BOTH model axes (qkv
+    (L, D/f, 3D/t)); tensor-sharded biases stay fsdp-replicated."""
+    from mirage_tpu.parallel.tp import tp_fsdp_specs
+
+    mesh = make_mesh({"data": 2, "fsdp": 2, "tensor": 2})
+    model = tp_model(2)
+    params = kernel_model().init_params(jax.random.PRNGKey(0))
+    opt = create_optimizer(OptimizerConfig(opt="adamw"))
+    state = shard_state(init_train_state(params, opt), mesh,
+                        tp_num_heads=model.num_heads)
+
+    qkv = state["params"]["encoder"]["attn"]["qkv"]["w"]
+    L, D, threeD = qkv.shape
+    assert qkv.sharding.shard_shape(qkv.shape) == (L, D // 2, threeD // 2)
+    qb = state["params"]["encoder"]["attn"]["qkv"]["b"]
+    assert qb.sharding.shard_shape(qb.shape) == (L, qb.shape[1] // 2)
+    specs = tp_fsdp_specs(params, mesh)
+    assert specs["encoder"]["attn"]["proj"]["w"] == P(None, "tensor", "fsdp")
+    assert specs["encoder"]["mlp"]["fc1"]["w"] == P(None, "fsdp", "tensor")
+    assert specs["encoder"]["mlp"]["fc2"]["w"] == P(None, "tensor", "fsdp")
+
+
 def test_tp_grad_kinds():
     params = kernel_model().init_params(jax.random.PRNGKey(0))
     kinds = tp_grad_kind(params)
@@ -221,7 +279,7 @@ def test_tp_step_tpu_export_lowers_mosaic_kernels():
     opt = create_optimizer(OptimizerConfig(opt="adamw", weight_decay=0.05,
                                            clip_grad=1.0))
     loss_fn = make_pretrain_loss(model, DOMAIN_CONF, num_encoded_tokens=12)
-    step = make_train_step(loss_fn, opt, mesh=mesh, donate=False)
+    step = make_train_step(loss_fn, opt, mesh=mesh, donate=False, tp=True)
     state = init_train_state(params, opt)
     state = {
         "params": tp_relayout(state["params"], model.num_heads, 2),
