@@ -194,6 +194,32 @@ def test_tp_fsdp_step_matches_dp_step_kernels_interpret():
             err_msg=jax.tree_util.keystr(path))
 
 
+def test_tp_step_remat_matches_dp_step_kernels_interpret():
+    """TP under per-layer remat (the real pretraining config): the in-block
+    psums replay in the bwd recompute; one step must match the remat'd dp
+    step with the real kernel code."""
+    batch = make_batch(8)
+    rng = jax.random.PRNGKey(5)
+
+    with runtime.forced("interpret"):
+        opt = create_optimizer(OptimizerConfig(opt="adamw", weight_decay=0.05,
+                                               clip_grad=1.0))
+        dp_model = dataclasses.replace(kernel_model(), remat=True)
+        st_dp, m_dp = _steps(
+            make_mesh({"data": 4}, devices=jax.devices()[:4]),
+            dp_model, opt, batch, rng, n=1)
+        st_tp, m_tp = _steps(
+            make_mesh({"data": 4, "tensor": 2}),
+            dataclasses.replace(tp_model(2), remat=True), opt, batch, rng,
+            n=1)
+
+    assert np.isfinite(float(m_tp["loss"]))
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_dp["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m_tp["grad_norm"]),
+                               float(m_dp["grad_norm"]), rtol=1e-3)
+
+
 def test_tp_fsdp_state_sharded_on_both_axes():
     """tp_fsdp_specs: encoder weights shard over BOTH model axes (qkv
     (L, D/f, 3D/t)); tensor-sharded biases stay fsdp-replicated."""
