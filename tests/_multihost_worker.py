@@ -96,6 +96,61 @@ def main_mirage(port: str, pid: int):
     print(f"W0 {float(leaf.ravel()[0]):.8f}", flush=True)
 
 
+def main_tpfsdp(port: str, pid: int):
+    """Two-process COMPOSED Megatron-TP x ZeRO-FSDP step on the full
+    (data=2, fsdp=2, tensor=2) mesh: per-host stripes feed the global
+    batch, encoder weights shard over both model axes across the two
+    processes, fsdp all_gathers and tensor psums ride the (virtual) DCN.
+    Same comparability argument as main_mirage: the rng folds by the
+    ('data','fsdp') index, not the process layout."""
+    import dataclasses
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=2, process_id=pid)
+    assert jax.process_count() == 2 and jax.device_count() == 8
+
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_parallel import DOMAIN_CONF, tiny_pretrain_model
+
+    from mirage_tpu.data.loader import DataLoader
+    from mirage_tpu.parallel.mesh import make_mesh
+    from mirage_tpu.train.optim import OptimizerConfig, create_optimizer
+    from mirage_tpu.train.steps import (init_train_state, make_pretrain_loss,
+                                        make_train_step, shard_batch,
+                                        shard_state)
+
+    mesh = make_mesh({"data": 2, "fsdp": 2, "tensor": 2})
+    loader = DataLoader(SynthMirage(), batch_size=8, shuffle=False,
+                        num_workers=1, shard_index=pid, num_shards=2)
+    local = next(iter(loader))
+
+    model = dataclasses.replace(tiny_pretrain_model(), tp=("tensor", 2))
+    params = tiny_pretrain_model().init_params(jax.random.PRNGKey(0))
+    opt = create_optimizer(OptimizerConfig(opt="adamw", weight_decay=0.05,
+                                           clip_grad=1.0))
+    loss_fn = make_pretrain_loss(model, DOMAIN_CONF, num_encoded_tokens=12)
+    step = make_train_step(loss_fn, opt, mesh=mesh, donate=False, tp=True)
+    state = shard_state(init_train_state(params, opt), mesh,
+                        tp_num_heads=model.num_heads)
+    gbatch = shard_batch(local, mesh)
+    assert gbatch["bscan"].shape == (16, 1, 128, 128)
+    with mesh:
+        state, metrics = step(state, gbatch, jax.random.PRNGKey(0), 1e-4, 1.0)
+    print(f"LOSS {float(metrics['loss']):.8f}", flush=True)
+    print(f"GNORM {float(metrics['grad_norm']):.8f}", flush=True)
+    # encoder weights are sharded across processes (not host-addressable
+    # whole); compare a replicated leaf — global_tokens trains through the
+    # full encoder backward, so it pins the cross-process grad flow
+    leaf = np.asarray(jax.device_get(state["params"]["global_tokens"]))
+    print(f"W0 {float(leaf.ravel()[0]):.8f}", flush=True)
+
+
 def main(port: str, pid: int):
     import jax
 
@@ -146,4 +201,4 @@ if __name__ == "__main__":
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     os.environ["JAX_PLATFORMS"] = "cpu"
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    (main_mirage if mode == "mirage" else main)(port, pid)
+    {"mirage": main_mirage, "tpfsdp": main_tpfsdp}.get(mode, main)(port, pid)

@@ -135,3 +135,61 @@ def test_two_process_real_model_step(tmp_path):
                                    err_msg=f"worker {pid} grad norm")
         np.testing.assert_allclose(_grab(out, "W0"), exp_w0, rtol=1e-4,
                                    atol=1e-7, err_msg=f"worker {pid} param")
+
+
+def _expected_single_process_tpfsdp():
+    """The composed TP x ZeRO step on ONE process with the same
+    (data=2, fsdp=2, tensor=2) mesh and the two-process batch order."""
+    import dataclasses
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from _multihost_worker import SynthMirage
+    from test_parallel import DOMAIN_CONF, tiny_pretrain_model
+
+    import jax
+    import jax.numpy as jnp
+
+    from mirage_tpu.parallel.mesh import make_mesh
+    from mirage_tpu.train.optim import OptimizerConfig, create_optimizer
+    from mirage_tpu.train.steps import (init_train_state, make_pretrain_loss,
+                                        make_train_step, shard_batch,
+                                        shard_state)
+
+    ds = SynthMirage()
+    order = list(range(0, 16, 2)) + list(range(1, 16, 2))
+    batch = {k: jnp.asarray(np.stack([ds[i][k] for i in order]))
+             for k in ds[0]}
+    model = dataclasses.replace(tiny_pretrain_model(), tp=("tensor", 2))
+    params = tiny_pretrain_model().init_params(jax.random.PRNGKey(0))
+    opt = create_optimizer(OptimizerConfig(opt="adamw", weight_decay=0.05,
+                                           clip_grad=1.0))
+    loss_fn = make_pretrain_loss(model, DOMAIN_CONF, num_encoded_tokens=12)
+    mesh = make_mesh({"data": 2, "fsdp": 2, "tensor": 2})
+    step = make_train_step(loss_fn, opt, mesh=mesh, donate=False, tp=True)
+    state = shard_state(init_train_state(params, opt), mesh,
+                        tp_num_heads=model.num_heads)
+    with mesh:
+        state, metrics = step(state, shard_batch(batch, mesh),
+                              jax.random.PRNGKey(0), 1e-4, 1.0)
+    leaf = np.asarray(jax.device_get(state["params"]["global_tokens"]))
+    return (float(metrics["loss"]), float(metrics["grad_norm"]),
+            float(leaf.ravel()[0]))
+
+
+def test_two_process_tp_fsdp_step(tmp_path):
+    """The composed Megatron-TP x ZeRO-FSDP step across two real
+    jax.distributed processes: encoder weights sharded over both model
+    axes SPAN the processes, so the per-step fsdp all_gathers and the
+    in-block tensor psums actually cross the (virtual) DCN — matches the
+    single-process step on the same mesh."""
+    outs = _run_two_workers("tpfsdp")
+    exp_loss, exp_gnorm, exp_w0 = _expected_single_process_tpfsdp()
+    for pid, out in enumerate(outs):
+        np.testing.assert_allclose(_grab(out, "LOSS"), exp_loss, rtol=1e-5,
+                                   err_msg=f"worker {pid} loss")
+        np.testing.assert_allclose(_grab(out, "GNORM"), exp_gnorm, rtol=1e-4,
+                                   err_msg=f"worker {pid} grad norm")
+        np.testing.assert_allclose(_grab(out, "W0"), exp_w0, rtol=1e-4,
+                                   atol=1e-7, err_msg=f"worker {pid} param")
