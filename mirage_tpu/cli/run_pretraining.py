@@ -432,28 +432,27 @@ def main(argv=None):
             it += 1
         stack.close()  # flush the profiler trace for the profiled epoch
 
-        if ((epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs) \
-                and is_writer:
-            # dp state is replicated (locally addressable on every host);
-            # process 0 alone writes to the shared output_dir — concurrent
-            # orbax writes / log appends corrupt the artifacts
-            host_state = jax.device_get(state)
+        if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
+            # state_to_host handles every placement: dp-replicated states
+            # device_get directly; model-sharded shard_map states (fsdp/tp)
+            # on multi-process meshes span non-addressable devices and are
+            # gathered with a COLLECTIVE — so every process must call it
+            # (outside the is_writer gate), while process 0 alone writes to
+            # the shared output_dir (concurrent orbax writes / log appends
+            # corrupt the artifacts)
+            host_state = ckpt.state_to_host(state)
             if tp_shardmap:
                 # undo the head-group-major qkv permutation so the saved
                 # checkpoint keeps the standard [3, H, dh] layout (interop
                 # with .pth conversion, resume on any mesh)
-                from mirage_tpu.parallel.tp import tp_unrelayout
+                from mirage_tpu.parallel.tp import tp_relayout_state
 
-                t = args.mesh_tensor
-                host_state = {
-                    "params": tp_unrelayout(host_state["params"],
-                                            model.num_heads, t),
-                    "opt": {k: (tp_unrelayout(v, model.num_heads, t)
-                                if k in ("mu", "nu") else v)
-                            for k, v in host_state["opt"].items()},
-                    "step": host_state["step"],
-                }
-            ckpt.save_checkpoint(args.output_dir, host_state, epoch, args=vars(args))
+                host_state = tp_relayout_state(
+                    host_state, model.num_heads, args.mesh_tensor,
+                    invert=True)
+            if is_writer:
+                ckpt.save_checkpoint(args.output_dir, host_state, epoch,
+                                     args=vars(args))
         if is_writer:
             append_log(args.output_dir, {
                 "epoch": epoch,

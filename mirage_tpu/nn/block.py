@@ -184,7 +184,11 @@ def _tp_block_apply(p, x, num_heads, tp, *, impl, drop, attn_drop,
 
     # ---- MLP half: hidden-parallel ----
     xf = ident_f(x, axis)
-    if (impl in ("auto", "block") and (grad_free or n <= 512) and _on_tpu()):
+    # dh % 32 mirrors every other fused-kernel gate in this file: a dh=48
+    # model hangs the remote XLA compile when a fused kernel's scan has a
+    # consumer, so non-32-multiple head dims must fall back to XLA here too
+    if (impl in ("auto", "block") and (grad_free or n <= 512)
+            and dh % 32 == 0 and _on_tpu()):
         from mirage_tpu.ops.fused_mlp import mlp_block
 
         fc2_w = p["mlp"]["fc2"]["w"]

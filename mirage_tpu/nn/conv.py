@@ -76,7 +76,12 @@ def _dw_shift_bwd(pads, res, dy):
     for ky in range(kh):
         for kx in range(kw):
             sl = jax.lax.slice(xp, (0, ky, kx, 0), (b, ky + oh, kx + ow, c))
-            taps.append(jnp.sum((sl * dy).astype(jnp.float32), axis=(0, 1, 2)))
+            # cast BEFORE the multiply: under bf16 compute the product must
+            # form in f32 (XLA's conv dW widens operands and accumulates in
+            # f32; rounding each elementwise product to bf16 first would
+            # cost ~2^-8 relative per tap instead of ~2^-24)
+            taps.append(jnp.sum(sl.astype(jnp.float32)
+                                * dy.astype(jnp.float32), axis=(0, 1, 2)))
     dw = jnp.stack(taps, axis=-1).reshape(c, 1, kh, kw).astype(w.dtype)
     return dw, dx
 

@@ -243,3 +243,19 @@ def tp_relayout(params, num_heads: int, t: int):
 def tp_unrelayout(params, num_heads: int, t: int):
     """Inverse of tp_relayout (for checkpoint export / interop)."""
     return _relayout_tree(params, num_heads, t, invert=True)
+
+
+def tp_relayout_state(state, num_heads: int, t: int, invert: bool = False):
+    """Apply the qkv permutation to a whole train state: params and the
+    elementwise Adam moments (mu/nu) transform together; counters/steps and
+    any other opt entries pass through. invert=True for checkpoint export
+    (the single place the standard<->head-group-major mapping is defined
+    for states — shard_state, the pretraining CLI's save path, and the AOT
+    export checks all go through here)."""
+    fn = tp_unrelayout if invert else tp_relayout
+    return {
+        "params": fn(state["params"], num_heads, t),
+        "opt": {k: (fn(v, num_heads, t) if k in ("mu", "nu") else v)
+                for k, v in state["opt"].items()},
+        "step": state["step"],
+    }

@@ -26,6 +26,32 @@ def _ckpt_dir(output_dir: str, tag) -> str:
     return os.path.join(os.path.abspath(output_dir), f"checkpoint-{tag}")
 
 
+def state_to_host(state):
+    """Fetch a train state to host numpy regardless of its placement.
+
+    Single-process (and fully-replicated multi-process dp) states are a
+    plain device_get. Model-sharded states on MULTI-PROCESS meshes (the
+    ZeRO-FSDP / Megatron-TP shard_map layouts) span non-addressable
+    devices, where device_get raises — those leaves are gathered with the
+    collective-backed jax.experimental.multihost_utils.process_allgather
+    (every process receives the full value, so the single-writer save
+    stays valid)."""
+    if jax.process_count() == 1:
+        return jax.device_get(state)
+    from jax.experimental import multihost_utils
+
+    def fetch(x):
+        if not isinstance(x, jax.Array) or x.is_fully_addressable \
+                or x.is_fully_replicated:
+            return jax.device_get(x)
+        # tiled=True is REQUIRED for global non-fully-addressable arrays
+        # (and ignored in spirit: the result is the fully-replicated value,
+        # not a concat — multihost_utils raises on tiled=False here)
+        return multihost_utils.process_allgather(x, tiled=True)
+
+    return jax.tree_util.tree_map(fetch, state)
+
+
 def save_checkpoint(output_dir: str, state, epoch, *, args: Optional[dict] = None,
                     tag=None, keep_every: int = 0):
     """Write ``{output_dir}/checkpoint-{epoch}`` (or ``-best`` etc. via tag).

@@ -190,236 +190,60 @@ def _make_dp_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def _make_fsdp_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
-                          mesh, donate: bool):
-    """ZeRO-style FSDP train step via shard_map — Pallas kernels ENGAGED.
+def _make_model_sharded_step(loss_fn: Callable, optimizer: GroupedOptimizer,
+                             mesh, donate: bool, specs_fn):
+    """General model-sharded shard_map train step — Pallas kernels ENGAGED
+    (a pallas_call sees only local operands inside shard_map, so the Mosaic
+    GSPMD restriction never applies). One builder serves the three sharded
+    layouts; the wrappers below only choose ``specs_fn``:
 
-    Storage: params and Adam moments sharded over 'fsdp' on their last axis
-    (parallel/mesh.fsdp_param_specs; place the state with shard_state, which
-    routes fsdp-only meshes here). Compute: each device all_gathers the full
-    weights (fsdp_gather — one tiled all_gather per big leaf, inside the
-    differentiated region) and runs the SAME single-device trace as the dp
-    step, kernels and all — shard_map means the pallas_calls see purely
-    local operands, so the Mosaic GSPMD restriction never applies. Autodiff
-    of the gather reduce-scatters the weight grads back to shards (the
-    transpose of a tiled all_gather is psum_scatter); replicated-leaf grads
-    are pmean'd. The optimizer then updates only the local shard (ZeRO
-    optimizer-state sharding — the fused AdamW kernel runs on shard-shaped
-    leaves), with clip/skip driven by the true GLOBAL grad norm.
+      - ZeRO-FSDP (parallel/mesh.fsdp_param_specs): big leaves sharded over
+        'fsdp' on their last axis — pure storage sharding, gathered back
+        before compute;
+      - Megatron-TP (parallel/tp.tp_param_specs): encoder weight families
+        sharded over 'tensor' on their branch axes — COMPUTE sharding; the
+        model must be built with tp=('tensor', t) so the blocks run
+        head/hidden-parallel with the ident_f/psum_g collectives;
+      - composed (parallel/tp.tp_fsdp_specs): both of the above — encoder
+        weights sharded over both model axes, fsdp gathered per step.
 
-    Memory per device: weights+moments 1/n_fsdp'd at rest; the gathered
-    full weights are live during the step (ViT-L: ~1.3 GB f32 — the
-    activation savings of remat dominate). The batch is sharded over
-    ('data','fsdp') like the dp step, and the rng is decorrelated per
-    device, so masks are per-shard draws (same semantics as the dp step,
-    NOT bitwise the single-device global-rng step).
+    Shared mechanics:
+      - the batch shards over ('data','fsdp'); the rng folds by that index,
+        so all tensor shards of one batch position draw identical masks;
+      - every leaf whose spec carries 'fsdp' is all_gather'd per step
+        INSIDE the differentiated region (fsdp_gather — the transpose is
+        psum_scatter, so those grads arrive reduce-scattered); leaves
+        without 'fsdp' pass through untouched;
+      - grad reductions follow (spec, tp_grad_kind): 'partial' leaves (the
+        in-block LN params under TP — each shard differentiates only its
+        own branch) psum over 'tensor' first; fsdp-scattered leaves
+        complete the global batch mean with pmean('data')/n_fsdp;
+        everything else pmeans over the batch axes. psums over size-1 axes
+        are no-ops, which is exactly why one body serves all three layouts
+        (verified: each wrapper's equality test pins it against the dp
+        step — tests/test_fsdp_step.py, tests/test_tp_step.py);
+      - the global clip/skip norm psums each leaf's squared sum over
+        whichever axes its gradient is split across ('tensor' for
+        tp-'local' leaves, 'fsdp' for scattered ones), bucketed so each
+        axis combination psums once;
+      - the optimizer updates local shards — ZeRO optimizer-state sharding
+        over every sharded axis for free, clip/skip driven by the true
+        global norm.
+
+    Memory per device: weights+moments 1/(shards)'d at rest; fsdp-gathered
+    full (or tensor-local) weights are live during the step (ViT-L:
+    ~1.3 GB f32 fully gathered — the activation savings of remat dominate).
     """
     from jax import shard_map
-    from mirage_tpu.parallel.mesh import fsdp_gather, fsdp_param_specs
-
-    axes = ("data", "fsdp")
-    n_fsdp = mesh.shape["fsdp"]
-    cache = {}
-
-    def build(state, batch):
-        pspecs = fsdp_param_specs(state["params"], mesh)
-
-        def local_step(state, batch, rng, lr, wd_scale):
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(axes))
-
-            def wrapped(local_params, batch, rng):
-                full = fsdp_gather(local_params, pspecs)
-                return loss_fn(optimizer.stop_frozen(full), batch, rng)
-
-            (loss, task_losses), grads = jax.value_and_grad(
-                wrapped, has_aux=True)(state["params"], batch, rng)
-
-            # Reductions: sharded-leaf grads arrive as psum_scatter results
-            # (summed over 'fsdp', shard-shaped) -> mean over 'data' then
-            # /n_fsdp completes the global batch mean; replicated leaves are
-            # per-device partials -> pmean over both axes.
-            def reduce_g(g, sp):
-                if sp and "fsdp" in sp:
-                    return jax.lax.pmean(g, "data") / n_fsdp
-                return jax.lax.pmean(g, axes)
-
-            grads = jax.tree_util.tree_map(reduce_g, grads, pspecs)
-            loss, task_losses = jax.lax.pmean((loss, task_losses), axes)
-
-            # Global grad norm across shards (for clip_grad / skip_grad):
-            # sharded leaves' sq sums psum over 'fsdp'; replicated leaves
-            # are identical everywhere post-pmean.
-            f32sq = lambda x: jnp.sum(jnp.square(x.astype(jnp.float32)))
-            sq_sh = jnp.float32(0)
-            sq_rep = jnp.float32(0)
-            for g, sp in zip(jax.tree_util.tree_leaves(grads),
-                             jax.tree_util.tree_leaves(pspecs)):
-                if sp and "fsdp" in sp:
-                    sq_sh = sq_sh + f32sq(g)
-                else:
-                    sq_rep = sq_rep + f32sq(g)
-            gnorm = jnp.sqrt(jax.lax.psum(sq_sh, "fsdp") + sq_rep)
-
-            params, opt_state, _ = optimizer.update(
-                grads, state["opt"], state["params"], lr, wd_scale,
-                gnorm=gnorm)
-            new_state = {"params": params, "opt": opt_state,
-                         "step": state["step"] + 1}
-            metrics = {"loss": loss, "grad_norm": gnorm}
-            metrics.update({f"loss_{k}": v for k, v in task_losses.items()})
-            return new_state, metrics
-
-        mspecs = jax.tree_util.tree_map(
-            lambda m, sp: sp if m.ndim else P(), state["opt"]["mu"], pspecs)
-        state_specs = {
-            "params": pspecs,
-            "opt": {k: (mspecs if k in ("mu", "nu") else P())
-                    for k in state["opt"]},
-            "step": P(),
-        }
-        batch_specs = jax.tree_util.tree_map(lambda _: P(axes), batch)
-        step = shard_map(
-            local_step, mesh=mesh,
-            in_specs=(state_specs, batch_specs, P(), P(), P()),
-            out_specs=(state_specs, P()),
-            check_vma=False)
-        return jax.jit(step, donate_argnums=(0,) if donate else ())
-
-    def stepper(state, batch, rng, lr, wd_scale):
-        # Specs depend on leaf shapes, so the shard_map is built lazily from
-        # the first (state, batch) and cached (one structure per stepper).
-        if "fn" not in cache:
-            cache["fn"] = build(state, batch)
-        return cache["fn"](state, batch, rng, lr, wd_scale)
-
-    # exposed for AOT export checks: build(abstract_state, abstract_batch)
-    # accepts ShapeDtypeStruct pytrees (specs only need shapes/dtypes)
-    stepper.build = build
-    return stepper
-
-
-def _make_tp_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
-                        mesh, donate: bool):
-    """Megatron-style tensor-parallel train step via shard_map — Pallas
-    kernels ENGAGED (parallel/tp.py module docstring has the design).
-
-    Contract: ``loss_fn`` must close over a model built with
-    ``tp=('tensor', t)`` (nn/block._tp_block_apply inserts the in-block
-    ident_f/psum_g collectives), and the state must be placed with
-    shard_state, which tp_relayout's the fused-qkv leaves and shards the
-    six encoder weight families over 'tensor' (tp_param_specs). Activations
-    and the batch are replicated over 'tensor' (the batch shards over
-    ('data','fsdp') as everywhere else) and the rng folds by the
-    ('data','fsdp') index only, so all t shards of one data position draw
-    identical masks — the step is semantically the dp step with the
-    encoder's weight axes split t ways.
-
-    Gradient reductions by tp_grad_kind: sharded leaves arrive
-    shard-complete ('local' — pmean over the batch axes only), in-block
-    LayerNorm grads arrive per-branch partial ('partial' — psum over
-    'tensor' first), everything else is complete and shard-identical
-    ('replicated'). clip/skip uses the true global norm (sharded leaves'
-    sq-sums psum over 'tensor'); the optimizer updates local shards
-    (ZeRO-style optimizer-state sharding over 'tensor' for free)."""
-    from jax import shard_map
-    from mirage_tpu.parallel.tp import tp_grad_kind, tp_param_specs
-
-    batch_axes = ("data", "fsdp")
-    cache = {}
-
-    def build(state, batch):
-        pspecs = tp_param_specs(state["params"], mesh)
-        kinds = tp_grad_kind(state["params"])
-
-        def local_step(state, batch, rng, lr, wd_scale):
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(batch_axes))
-
-            def wrapped(params, batch, rng):
-                return loss_fn(optimizer.stop_frozen(params), batch, rng)
-
-            (loss, task_losses), grads = jax.value_and_grad(
-                wrapped, has_aux=True)(state["params"], batch, rng)
-
-            def reduce_g(g, kind):
-                if kind == "partial":
-                    g = jax.lax.psum(g, "tensor")
-                return jax.lax.pmean(g, batch_axes)
-
-            grads = jax.tree_util.tree_map(reduce_g, grads, kinds)
-            loss, task_losses = jax.lax.pmean((loss, task_losses), batch_axes)
-
-            f32sq = lambda x: jnp.sum(jnp.square(x.astype(jnp.float32)))
-            sq_sh = jnp.float32(0)
-            sq_rep = jnp.float32(0)
-            for g, kind in zip(jax.tree_util.tree_leaves(grads),
-                               jax.tree_util.tree_leaves(kinds)):
-                if kind == "local":
-                    sq_sh = sq_sh + f32sq(g)
-                else:
-                    sq_rep = sq_rep + f32sq(g)
-            gnorm = jnp.sqrt(jax.lax.psum(sq_sh, "tensor") + sq_rep)
-
-            params, opt_state, _ = optimizer.update(
-                grads, state["opt"], state["params"], lr, wd_scale,
-                gnorm=gnorm)
-            new_state = {"params": params, "opt": opt_state,
-                         "step": state["step"] + 1}
-            metrics = {"loss": loss, "grad_norm": gnorm}
-            metrics.update({f"loss_{k}": v for k, v in task_losses.items()})
-            return new_state, metrics
-
-        mspecs = jax.tree_util.tree_map(
-            lambda m, sp: sp if m.ndim else P(), state["opt"]["mu"], pspecs)
-        state_specs = {
-            "params": pspecs,
-            "opt": {k: (mspecs if k in ("mu", "nu") else P())
-                    for k in state["opt"]},
-            "step": P(),
-        }
-        batch_specs = jax.tree_util.tree_map(lambda _: P(batch_axes), batch)
-        step = shard_map(
-            local_step, mesh=mesh,
-            in_specs=(state_specs, batch_specs, P(), P(), P()),
-            out_specs=(state_specs, P()),
-            check_vma=False)
-        return jax.jit(step, donate_argnums=(0,) if donate else ())
-
-    def stepper(state, batch, rng, lr, wd_scale):
-        if "fn" not in cache:
-            cache["fn"] = build(state, batch)
-        return cache["fn"](state, batch, rng, lr, wd_scale)
-
-    # exposed for AOT export checks (see _make_fsdp_train_step)
-    stepper.build = build
-    return stepper
-
-
-def _make_tp_fsdp_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
-                             mesh, donate: bool):
-    """Composed Megatron-TP × ZeRO-FSDP shard_map step — Pallas kernels
-    ENGAGED on fully 3-axis ('data','fsdp','tensor') meshes.
-
-    Storage: tp_fsdp_specs — encoder weights sharded over BOTH model axes
-    (tensor on the Megatron branch axis, fsdp on the orthogonal one), big
-    non-encoder leaves ZeRO-sharded over 'fsdp' (last axis), the rest
-    replicated. Compute: each device all_gathers the 'fsdp' axis
-    (fsdp_gather handles arbitrary axes; the gathered leaf is exactly the
-    TP step's tensor shard) and runs the TP block compute — the model must
-    be built with tp=('tensor', t), exactly as in _make_tp_train_step.
-    Autodiff of the gather reduce-scatters weight grads back over 'fsdp';
-    the TP reductions (tp_grad_kind) handle the 'tensor' axis; clip/skip
-    uses the true global norm with per-leaf psums over whichever axes the
-    leaf's gradient is split across."""
-    from jax import shard_map
     from mirage_tpu.parallel.mesh import fsdp_gather
-    from mirage_tpu.parallel.tp import tp_fsdp_specs, tp_grad_kind
+    from mirage_tpu.parallel.tp import tp_grad_kind
 
     batch_axes = ("data", "fsdp")
     n_fsdp = mesh.shape["fsdp"]
     cache = {}
 
     def build(state, batch):
-        pspecs = tp_fsdp_specs(state["params"], mesh)
+        pspecs = specs_fn(state["params"], mesh)
         kinds = tp_grad_kind(state["params"])
 
         def local_step(state, batch, rng, lr, wd_scale):
@@ -436,18 +260,12 @@ def _make_tp_fsdp_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
                 if kind == "partial":
                     g = jax.lax.psum(g, "tensor")
                 if sp and "fsdp" in sp:
-                    # arrived psum_scattered over 'fsdp' (the gather's
-                    # transpose): /n_fsdp completes the global batch mean
                     return jax.lax.pmean(g, "data") / n_fsdp
                 return jax.lax.pmean(g, batch_axes)
 
             grads = jax.tree_util.tree_map(reduce_g, grads, pspecs, kinds)
             loss, task_losses = jax.lax.pmean((loss, task_losses), batch_axes)
 
-            # Global grad norm: psum each leaf's sq over whichever axes its
-            # gradient is SPLIT across ('tensor' for tensor-sharded leaves,
-            # 'fsdp' for scattered ones), bucketed so each axis combination
-            # psums once.
             f32sq = lambda x: jnp.sum(jnp.square(x.astype(jnp.float32)))
             buckets = {(): jnp.float32(0), ("tensor",): jnp.float32(0),
                        ("fsdp",): jnp.float32(0),
@@ -494,12 +312,54 @@ def _make_tp_fsdp_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
     def stepper(state, batch, rng, lr, wd_scale):
+        # Specs depend on leaf shapes, so the shard_map is built lazily from
+        # the first (state, batch) and cached (one structure per stepper).
         if "fn" not in cache:
             cache["fn"] = build(state, batch)
         return cache["fn"](state, batch, rng, lr, wd_scale)
 
+    # exposed for AOT export checks: build(abstract_state, abstract_batch)
+    # accepts ShapeDtypeStruct pytrees (specs only need shapes/dtypes)
     stepper.build = build
     return stepper
+
+
+def _make_fsdp_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
+                          mesh, donate: bool):
+    """ZeRO-style FSDP train step (fsdp-only meshes): storage-sharded big
+    leaves, per-step gather, same single-device trace as the dp step —
+    semantics per _make_model_sharded_step; NOT bitwise the single-device
+    global-rng step (masks are per-shard draws, like the dp step)."""
+    from mirage_tpu.parallel.mesh import fsdp_param_specs
+
+    return _make_model_sharded_step(loss_fn, optimizer, mesh, donate,
+                                    fsdp_param_specs)
+
+
+def _make_tp_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
+                        mesh, donate: bool):
+    """Megatron tensor-parallel train step (tensor-only meshes). Contract:
+    ``loss_fn`` closes over a model built with tp=('tensor', t)
+    (nn/block._tp_block_apply provides the in-block collectives) and the
+    state is placed with shard_state(tp_num_heads=) so the fused-qkv
+    leaves are head-group-major (parallel/tp.tp_relayout). Semantics per
+    _make_model_sharded_step."""
+    from mirage_tpu.parallel.tp import tp_param_specs
+
+    return _make_model_sharded_step(loss_fn, optimizer, mesh, donate,
+                                    tp_param_specs)
+
+
+def _make_tp_fsdp_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
+                             mesh, donate: bool):
+    """Composed Megatron-TP x ZeRO-FSDP step (tensor>1 AND fsdp>1):
+    encoder weights sharded over BOTH model axes (parallel/tp.tp_fsdp_specs),
+    the 'fsdp' axis gathered per step. Same model/placement contract as
+    _make_tp_train_step; semantics per _make_model_sharded_step."""
+    from mirage_tpu.parallel.tp import tp_fsdp_specs
+
+    return _make_model_sharded_step(loss_fn, optimizer, mesh, donate,
+                                    tp_fsdp_specs)
 
 
 def init_train_state(params, optimizer: GroupedOptimizer):
@@ -521,7 +381,7 @@ def shard_state(state, mesh, tp_num_heads=None):
                                           is_fsdp_only, replicate)
     from mirage_tpu.parallel.tp import (is_tp_fsdp, is_tp_only,
                                         tp_fsdp_specs, tp_param_specs,
-                                        tp_relayout)
+                                        tp_relayout_state)
 
     # TP placement is opt-in via tp_num_heads (mirrors make_train_step's
     # tp flag): tensor-sharded meshes WITHOUT it keep the GSPMD
@@ -533,15 +393,7 @@ def shard_state(state, mesh, tp_num_heads=None):
     if mesh.size > 1 and is_dp_only(mesh):
         return replicate(state, mesh)
     if tp_shardmap:
-        t = mesh.shape["tensor"]
-        relayed = {
-            "params": tp_relayout(state["params"], tp_num_heads, t),
-            "opt": {k: (tp_relayout(v, tp_num_heads, t)
-                        if k in ("mu", "nu") else v)
-                    for k, v in state["opt"].items()},
-            "step": state["step"],
-        }
-        state = relayed
+        state = tp_relayout_state(state, tp_num_heads, mesh.shape["tensor"])
         specs_fn = tp_param_specs if is_tp_only(mesh) else tp_fsdp_specs
         pspecs = specs_fn(state["params"], mesh)
     elif mesh.size > 1 and is_fsdp_only(mesh) and _FSDP_STEP == "shardmap":

@@ -7,7 +7,8 @@ this measures whether the TPU BACKEND also executes it slowly. Variants:
   shiftvjp       — custom VJP: dX grouped conv, dW as 49 shift-multiply-reduce
   nhwc-autodiff  — jax.grad through the PRODUCTION layout (conv2d_nhwc — the
                    seg head is NHWC end-to-end, adapters/seg_heads.py:86)
-  nhwc-shiftvjp  — nn/conv.dwconv7_nhwc (the wired production custom VJP)
+  nhwc-shiftvjp  — nn/conv._dwconv_nhwc_shift (the wired custom VJP, routed
+                   from conv2d by the MIRAGE_DWCONV_VJP gate)
 
 r5 chip result: NCHW 140.4 -> 9.6 ms (14.7x), NHWC autodiff vs shift below.
 """

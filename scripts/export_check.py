@@ -110,7 +110,7 @@ def check_tp_fsdp_step_base_width():
 
     import __graft_entry__
     from mirage_tpu.parallel.mesh import make_mesh
-    from mirage_tpu.parallel.tp import tp_fsdp_specs, tp_relayout
+    from mirage_tpu.parallel.tp import tp_fsdp_specs, tp_relayout_state
     from mirage_tpu.train.optim import OptimizerConfig, create_optimizer
     from mirage_tpu.train.steps import (init_train_state, make_pretrain_loss,
                                         make_train_step)
@@ -124,14 +124,8 @@ def check_tp_fsdp_step_base_width():
                                            clip_grad=1.0))
     loss_fn = make_pretrain_loss(model, DOMAIN_CONF, num_encoded_tokens=12)
     step = make_train_step(loss_fn, opt, mesh=mesh, donate=False, tp=True)
-    state = init_train_state(params, opt)
-    state = {
-        "params": tp_relayout(state["params"], model.num_heads, 2),
-        "opt": {k: (tp_relayout(v, model.num_heads, 2)
-                    if k in ("mu", "nu") else v)
-                for k, v in state["opt"].items()},
-        "step": state["step"],
-    }
+    state = tp_relayout_state(init_train_state(params, opt),
+                              model.num_heads, 2)
     specs = tp_fsdp_specs(state["params"], mesh)
 
     def abs_spec(tree, spec_tree):

@@ -149,6 +149,15 @@ def main_tpfsdp(port: str, pid: int):
     # full encoder backward, so it pins the cross-process grad flow
     leaf = np.asarray(jax.device_get(state["params"]["global_tokens"]))
     print(f"W0 {float(leaf.ravel()[0]):.8f}", flush=True)
+    # the checkpoint save path: state_to_host must gather the
+    # cross-process-sharded leaves collectively (plain device_get raises
+    # on them) — every process receives the full value
+    from mirage_tpu.train.checkpoint import state_to_host
+
+    host = state_to_host(state)
+    qkv = np.asarray(host["params"]["encoder"]["attn"]["qkv"]["w"])
+    assert qkv.shape == state["params"]["encoder"]["attn"]["qkv"]["w"].shape
+    print(f"QKV0 {float(qkv.ravel()[0]):.8f}", flush=True)
 
 
 def main(port: str, pid: int):

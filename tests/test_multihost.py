@@ -174,8 +174,10 @@ def _expected_single_process_tpfsdp():
         state, metrics = step(state, shard_batch(batch, mesh),
                               jax.random.PRNGKey(0), 1e-4, 1.0)
     leaf = np.asarray(jax.device_get(state["params"]["global_tokens"]))
+    qkv = np.asarray(jax.device_get(
+        state["params"]["encoder"]["attn"]["qkv"]["w"]))
     return (float(metrics["loss"]), float(metrics["grad_norm"]),
-            float(leaf.ravel()[0]))
+            float(leaf.ravel()[0]), float(qkv.ravel()[0]))
 
 
 def test_two_process_tp_fsdp_step(tmp_path):
@@ -185,7 +187,7 @@ def test_two_process_tp_fsdp_step(tmp_path):
     in-block tensor psums actually cross the (virtual) DCN — matches the
     single-process step on the same mesh."""
     outs = _run_two_workers("tpfsdp")
-    exp_loss, exp_gnorm, exp_w0 = _expected_single_process_tpfsdp()
+    exp_loss, exp_gnorm, exp_w0, exp_qkv0 = _expected_single_process_tpfsdp()
     for pid, out in enumerate(outs):
         np.testing.assert_allclose(_grab(out, "LOSS"), exp_loss, rtol=1e-5,
                                    err_msg=f"worker {pid} loss")
@@ -193,3 +195,8 @@ def test_two_process_tp_fsdp_step(tmp_path):
                                    err_msg=f"worker {pid} grad norm")
         np.testing.assert_allclose(_grab(out, "W0"), exp_w0, rtol=1e-4,
                                    atol=1e-7, err_msg=f"worker {pid} param")
+        # the checkpoint-save gather (state_to_host) of a leaf that SPANS
+        # the two processes matches the single-process value on BOTH
+        np.testing.assert_allclose(_grab(out, "QKV0"), exp_qkv0, rtol=1e-4,
+                                   atol=1e-7,
+                                   err_msg=f"worker {pid} gathered qkv")

@@ -306,14 +306,10 @@ def test_tp_step_tpu_export_lowers_mosaic_kernels():
                                            clip_grad=1.0))
     loss_fn = make_pretrain_loss(model, DOMAIN_CONF, num_encoded_tokens=12)
     step = make_train_step(loss_fn, opt, mesh=mesh, donate=False, tp=True)
-    state = init_train_state(params, opt)
-    state = {
-        "params": tp_relayout(state["params"], model.num_heads, 2),
-        "opt": {k: (tp_relayout(v, model.num_heads, 2)
-                    if k in ("mu", "nu") else v)
-                for k, v in state["opt"].items()},
-        "step": state["step"],
-    }
+    from mirage_tpu.parallel.tp import tp_relayout_state
+
+    state = tp_relayout_state(init_train_state(params, opt),
+                              model.num_heads, 2)
     batch = make_batch(8)
 
     specs = tp_param_specs(state["params"], mesh)
