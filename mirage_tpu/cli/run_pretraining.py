@@ -90,6 +90,14 @@ def get_parser():
                    help="per-layer rematerialization (activation checkpointing)")
     p.add_argument("--mesh_fsdp", default=1, type=int)
     p.add_argument("--mesh_tensor", default=1, type=int)
+    p.add_argument("--mesh_pipe", default=1, type=int,
+                   help="GPipe pipeline stages over the encoder depth "
+                        "(parallel/pp.py; kernels engaged; composes with "
+                        "data parallelism only; requires --drop_path 0)")
+    p.add_argument("--pp_microbatches", default=0, type=int,
+                   help="microbatches per local batch for --mesh_pipe > 1 "
+                        "(0 = auto: 2x stages, shrunk to divide the local "
+                        "batch; bubble fraction is (S-1)/(M+S-1))")
     p.add_argument("--distributed", default=False, action="store_true",
                    help="multi-host: call jax.distributed.initialize before "
                         "touching the backend (coordinator/process info from "
@@ -242,8 +250,12 @@ def main(argv=None):
 
     print(f"Devices: {jax.device_count()} ({jax.default_backend()})")
     ndev = jax.device_count()
-    mesh = make_mesh({"data": ndev // (args.mesh_fsdp * args.mesh_tensor),
-                      "fsdp": args.mesh_fsdp, "tensor": args.mesh_tensor})
+    axes = {"data": ndev // (args.mesh_fsdp * args.mesh_tensor
+                             * args.mesh_pipe),
+            "fsdp": args.mesh_fsdp, "tensor": args.mesh_tensor}
+    if args.mesh_pipe > 1:  # 4th axis only when requested (mesh.py note)
+        axes["pipe"] = args.mesh_pipe
+    mesh = make_mesh(axes)
     n_batch_shards = mesh.shape["data"] * mesh.shape["fsdp"]
     if args.batch_size % n_batch_shards:
         sys.exit(f"--batch_size {args.batch_size} must be divisible by the "
@@ -275,6 +287,30 @@ def main(argv=None):
         print(f">> tensor mesh: {kind}, {t}-way head/hidden-parallel "
               f"encoder (kernels engaged)")
         model = dataclasses.replace(model, tp=("tensor", t))
+    pp_shardmap = args.mesh_pipe > 1
+    if pp_shardmap:
+        # GPipe shard_map step (train/steps._make_pp_train_step): stacked
+        # encoder leaves sharded over 'pipe' on the layer axis, stage-local
+        # Pallas kernels, one ppermute rotation per tick (parallel/pp.py).
+        s = args.mesh_pipe
+        if args.mesh_fsdp > 1 or args.mesh_tensor > 1:
+            sys.exit("--mesh_pipe composes only with data parallelism "
+                     "(pipe x fsdp/tensor is not implemented)")
+        if model.depth % s:
+            sys.exit(f"--mesh_pipe {s} must divide the encoder depth "
+                     f"({model.depth})")
+        if args.drop_path != 0.0:
+            sys.exit("--mesh_pipe requires --drop_path 0 (per-layer rates "
+                     "span the full depth — parallel/pp.py scope note; every "
+                     "reference pretraining config uses 0.0)")
+        local_b = args.batch_size // n_batch_shards
+        n_micro = args.pp_microbatches or min(local_b, 2 * s)
+        while local_b % n_micro:
+            n_micro -= 1
+        print(f">> pipe mesh: GPipe shard_map step, {s} stages x {n_micro} "
+              f"microbatches (bubble {(s - 1) / (n_micro + s - 1):.0%}, "
+              f"kernels engaged)")
+        model = dataclasses.replace(model, pp=("pipe", n_micro))
     gspmd_shards = (args.mesh_tensor > 1 and not tp_shardmap) or (
         args.mesh_fsdp > 1 and args.mesh_tensor == 1
         and _FSDP_STEP == "gspmd")
@@ -346,7 +382,8 @@ def main(argv=None):
     # shard_map steps with the Pallas kernels engaged (dp / ZeRO-FSDP /
     # Megatron-TP, train/steps.py); combined fsdp x tensor meshes keep
     # GSPMD with attn_impl='xla'
-    step_fn = make_train_step(loss_fn, opt, mesh=mesh, tp=tp_shardmap)
+    step_fn = make_train_step(loss_fn, opt, mesh=mesh, tp=tp_shardmap,
+                              pp=pp_shardmap)
 
     state = init_train_state(params, opt)
     del params
@@ -407,8 +444,9 @@ def main(argv=None):
                     # single-device debug forward: a tp model's in-block
                     # collectives only exist inside shard_map — strip tp
                     # (the host params get unrelayouted below to match)
-                    dbg_model = dataclasses.replace(model, tp=None) \
-                        if model.tp is not None else model
+                    dbg_model = dataclasses.replace(model, tp=None, pp=None) \
+                        if (model.tp is not None or model.pp is not None) \
+                        else model
                     debug_fwd = jax.jit(lambda p, b, r: dbg_model(
                         p, b, mask_inputs=True,
                         num_encoded_tokens=args.num_encoded_tokens, rng=r))

@@ -65,6 +65,38 @@ class MIRAGEModel:
     # (train/steps._make_tp_train_step builds this automatically for
     # tensor-only meshes). None = ordinary single-shard encoder.
     tp: Any = None
+    # Pipeline parallelism: ('pipe', n_micro) runs the encoder as a GPipe
+    # schedule over the 'pipe' mesh axis (parallel/pp.pp_encoder_apply) —
+    # the stacked encoder params must be sharded on their leading layer
+    # axis per parallel/pp.pp_param_specs and the forward must execute
+    # inside a shard_map over that axis (train/steps._make_pp_train_step).
+    # Requires drop_path_rate == 0.0 (every reference pretraining config)
+    # and no return_all_layers. None = ordinary single-stage encoder.
+    pp: Any = None
+
+    def _encoder(self, params_enc, tokens, *, deterministic, rng,
+                 grad_free=False):
+        """Route the encoder stack: pipelined when `pp` is set, else the
+        plain stacked scan."""
+        if self.pp is not None:
+            from mirage_tpu.parallel.pp import pp_encoder_apply
+
+            assert self.drop_path_rate == 0.0, (
+                "pipeline parallelism requires drop_path_rate == 0.0 "
+                "(parallel/pp.py scope note)")
+            axis, n_micro = self.pp
+            return pp_encoder_apply(
+                params_enc, tokens, self.num_heads, axis=axis,
+                n_micro=n_micro, total_depth=self.depth, impl=self.attn_impl,
+                drop=self.drop_rate, attn_drop=self.attn_drop_rate,
+                deterministic=deterministic, rng=rng, remat=self.remat,
+                grad_free=grad_free)
+        return encoder_apply(
+            params_enc, tokens, self.num_heads, depth=self.depth,
+            impl=self.attn_impl, drop=self.drop_rate,
+            attn_drop=self.attn_drop_rate,
+            drop_path_rate=self.drop_path_rate, deterministic=deterministic,
+            rng=rng, remat=self.remat, grad_free=grad_free, tp=self.tp)
 
     # ------------------------------------------------------------------ init
 
@@ -240,6 +272,8 @@ class MIRAGEModel:
         input_tokens = jnp.concatenate([input_tokens, global_tokens], axis=1)
 
         if return_all_layers:
+            assert self.pp is None, \
+                "return_all_layers is not supported under pipeline parallelism"
             _, layer_outs = encoder_apply(
                 params["encoder"], input_tokens, self.num_heads, depth=self.depth,
                 impl=self.attn_impl, drop=self.drop_rate, attn_drop=self.attn_drop_rate,
@@ -255,11 +289,9 @@ class MIRAGEModel:
                 feats[f"layer_{i}"] = t.reshape(b, gh, gw, -1).transpose(0, 3, 1, 2)
             return feats
 
-        encoder_tokens, _ = encoder_apply(
-            params["encoder"], input_tokens, self.num_heads, depth=self.depth,
-            impl=self.attn_impl, drop=self.drop_rate, attn_drop=self.attn_drop_rate,
-            drop_path_rate=self.drop_path_rate, deterministic=deterministic,
-            rng=enc_rng, remat=self.remat, tp=self.tp)
+        encoder_tokens, _ = self._encoder(
+            params["encoder"], input_tokens, deterministic=deterministic,
+            rng=enc_rng)
 
         if self.output_adapters is None:
             if reshape:
@@ -330,6 +362,8 @@ class MIRAGEModel:
         unchanged."""
         tokens, input_info = self.process_input(params, x)
         if return_all_layers:
+            assert self.pp is None, \
+                "return_all_layers is not supported under pipeline parallelism"
             _, layer_outs = encoder_apply(
                 params["encoder"], tokens, self.num_heads, depth=self.depth,
                 impl=self.attn_impl, drop=self.drop_rate, attn_drop=self.attn_drop_rate,
@@ -341,11 +375,9 @@ class MIRAGEModel:
                 encoder_tokens = [jax.lax.stop_gradient(t) for t in encoder_tokens]
             final = encoder_tokens
         else:
-            final, _ = encoder_apply(
-                params["encoder"], tokens, self.num_heads, depth=self.depth,
-                impl=self.attn_impl, drop=self.drop_rate, attn_drop=self.attn_drop_rate,
-                drop_path_rate=self.drop_path_rate, deterministic=deterministic,
-                rng=rng, remat=self.remat, grad_free=frozen_encoder, tp=self.tp)
+            final, _ = self._encoder(
+                params["encoder"], tokens, deterministic=deterministic,
+                rng=rng, grad_free=frozen_encoder)
             if frozen_encoder:
                 final = jax.lax.stop_gradient(final)
             encoder_tokens = final

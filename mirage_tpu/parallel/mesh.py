@@ -24,16 +24,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(axes: Optional[Dict[str, int]] = None, devices=None) -> Mesh:
     """axes e.g. {'data': 2, 'fsdp': 2, 'tensor': 2}. Defaults to pure data
-    parallelism over all devices."""
+    parallelism over all devices. An optional 'pipe' axis (pipeline
+    parallelism over the encoder depth, parallel/pp.py) is added as a 4th —
+    innermost, so pipeline neighbors are ICI-adjacent — dimension only when
+    requested, keeping every 3-axis mesh byte-identical to before."""
     devices = devices if devices is not None else jax.devices()
     if axes is None:
         axes = {"data": len(devices), "fsdp": 1, "tensor": 1}
-    for name in ("data", "fsdp", "tensor"):
+    names = ["data", "fsdp", "tensor"] + (["pipe"] if "pipe" in axes else [])
+    for name in names:
         axes.setdefault(name, 1)
-    n = axes["data"] * axes["fsdp"] * axes["tensor"]
+    n = int(np.prod([axes[nm] for nm in names]))
     assert n == len(devices), f"mesh {axes} != {len(devices)} devices"
-    arr = np.asarray(devices).reshape(axes["data"], axes["fsdp"], axes["tensor"])
-    return Mesh(arr, axis_names=("data", "fsdp", "tensor"))
+    arr = np.asarray(devices).reshape([axes[nm] for nm in names])
+    return Mesh(arr, axis_names=tuple(names))
 
 
 def batch_spec() -> P:
@@ -102,8 +106,10 @@ def replicate(tree, mesh: Mesh):
 
 
 def is_dp_only(mesh: Mesh) -> bool:
-    """True when the mesh shards nothing but the batch (fsdp=tensor=1)."""
-    return mesh.shape.get("fsdp", 1) == 1 and mesh.shape.get("tensor", 1) == 1
+    """True when the mesh shards nothing but the batch (fsdp=tensor=pipe=1)."""
+    return (mesh.shape.get("fsdp", 1) == 1
+            and mesh.shape.get("tensor", 1) == 1
+            and mesh.shape.get("pipe", 1) == 1)
 
 
 def is_fsdp_only(mesh: Mesh) -> bool:
@@ -111,7 +117,9 @@ def is_fsdp_only(mesh: Mesh) -> bool:
     the shard_map FSDP train step covers (kernels engaged; tensor>1 keeps
     GSPMD + attn_impl='xla', since in-kernel LN/matmuls can't span a sharded
     feature dim without cross-device reductions the kernels don't do)."""
-    return mesh.shape.get("fsdp", 1) > 1 and mesh.shape.get("tensor", 1) == 1
+    return (mesh.shape.get("fsdp", 1) > 1
+            and mesh.shape.get("tensor", 1) == 1
+            and mesh.shape.get("pipe", 1) == 1)
 
 
 # Leaves smaller than this stay replicated under FSDP: norms/biases/posembs

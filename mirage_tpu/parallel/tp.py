@@ -99,7 +99,9 @@ def is_tp_only(mesh: Mesh) -> bool:
     """Meshes the shard_map TP step covers: tensor > 1, fsdp == 1 (data
     any). tensor>1 WITH fsdp>1 takes the composed TP×ZeRO step
     (_make_tp_fsdp_train_step) instead — see is_tp_fsdp."""
-    return mesh.shape.get("tensor", 1) > 1 and mesh.shape.get("fsdp", 1) == 1
+    return (mesh.shape.get("tensor", 1) > 1
+            and mesh.shape.get("fsdp", 1) == 1
+            and mesh.shape.get("pipe", 1) == 1)
 
 
 def is_tp_fsdp(mesh: Mesh) -> bool:
@@ -109,7 +111,9 @@ def is_tp_fsdp(mesh: Mesh) -> bool:
     big non-encoder leaves ZeRO-shard over 'fsdp' on their last axis; the
     step all_gathers the fsdp axis per step and runs the TP block compute,
     kernels engaged."""
-    return mesh.shape.get("tensor", 1) > 1 and mesh.shape.get("fsdp", 1) > 1
+    return (mesh.shape.get("tensor", 1) > 1
+            and mesh.shape.get("fsdp", 1) > 1
+            and mesh.shape.get("pipe", 1) == 1)
 
 
 def _names(path):

@@ -85,7 +85,8 @@ def make_pretrain_loss(model, domain_conf: Mapping[str, Mapping[str, Any]],
 
 
 def make_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
-                    mesh=None, donate: bool = True, tp: bool = False):
+                    mesh=None, donate: bool = True, tp: bool = False,
+                    pp: bool = False):
     """Generic fused step: grads -> optimizer update -> metrics.
 
     state = {'params': ..., 'opt': ..., 'step': int32}
@@ -102,9 +103,14 @@ def make_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
     built with tp=('tensor', t) (the in-block collectives live in the
     model trace) and the state is placed with shard_state(tp_num_heads=).
     With tp=False, tensor-sharded meshes keep the GSPMD jit — build the
-    model with attn_impl='xla' for those. mesh=None / 1-device meshes use
-    plain jit (identical to before; the single-chip bench path is
-    untouched).
+    model with attn_impl='xla' for those. Pipe-sharded meshes take the
+    GPipe shard_map step ONLY with `pp=True` — the caller promises the
+    loss_fn's model carries pp=('pipe', n_micro) (the pipeline schedule
+    lives in the model trace) and the state is placed with shard_state on
+    the same mesh; there is no GSPMD fallback for 'pipe' (the axis means
+    nothing to sharding specs), so pp=False on such a mesh is an error.
+    mesh=None / 1-device meshes use plain jit (identical to before; the
+    single-chip bench path is untouched).
     """
 
     # GSPMD-sharded steps (fsdp/tensor meshes fall through to the plain jit
@@ -128,8 +134,17 @@ def make_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
 
     if mesh is not None and mesh.size > 1:
         from mirage_tpu.parallel.mesh import is_dp_only, is_fsdp_only
+        from mirage_tpu.parallel.pp import is_pp
         from mirage_tpu.parallel.tp import is_tp_fsdp, is_tp_only
 
+        if is_pp(mesh):
+            if not pp:
+                raise ValueError(
+                    "mesh has a pipe axis > 1 but make_train_step was not "
+                    "called with pp=True (and a model carrying "
+                    "pp=('pipe', n_micro)) — there is no GSPMD fallback "
+                    "for pipeline parallelism")
+            return _make_pp_train_step(loss_fn, optimizer, mesh, donate)
         if is_dp_only(mesh):
             return _make_dp_train_step(loss_fn, optimizer, mesh, donate)
         if is_fsdp_only(mesh) and _FSDP_STEP == "shardmap":
@@ -362,6 +377,125 @@ def _make_tp_fsdp_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
                                     tp_fsdp_specs)
 
 
+def _make_pp_train_step(loss_fn: Callable, optimizer: GroupedOptimizer,
+                        mesh, donate: bool):
+    """GPipe pipeline-parallel train step (pipe>1 meshes, data any) — Pallas
+    kernels ENGAGED (inside shard_map every pallas_call sees local operands).
+
+    Contract: ``loss_fn`` closes over a model built with
+    pp=('pipe', n_micro) — the pipeline schedule (parallel/pp.pp_encoder_apply:
+    per-stage local layer stacks, one ppermute rotation per tick, masked-psum
+    output broadcast) lives in the model trace; this builder supplies the
+    sharding, the loss scaling and the gradient bookkeeping derived in
+    parallel/pp.py's module docstring:
+
+      - stacked encoder leaves (and their Adam moments) shard over 'pipe' on
+        the leading layer axis (pp_param_specs) — stage-local storage AND
+        compute; everything else (adapters/decoders, tiny next to the
+        encoder) is replicated over 'pipe' and the rng folds only by the
+        batch index, so the pre/post-encoder compute is identical on every
+        stage of one batch shard (the Dirichlet mask draws MUST agree across
+        stages: stage 0 feeds the tokens all stages' decoders assume);
+      - the per-device loss is scaled by 1/n_stages before autodiff: the
+        masked-psum broadcast transposes to a psum of the S replicated
+        cotangents (full dL/dout into the last stage's buffer — pipe-LOCAL
+        encoder grads arrive complete), while replicated leaves' grads
+        arrive as one S-th per stage (decoder-side) or stage-0-only
+        (input-side), both completed by a single psum('pipe');
+      - backward is pure autodiff through the tick scan (ppermute transposes
+        to the inverse rotation; bubble chains get zero cotangents);
+      - the clip/skip norm psums the stage-sharded encoder leaves' squared
+        sums over 'pipe'; replicated leaves count once.
+
+    Scope (asserted): no fsdp/tensor sharding composed in, and the optimizer
+    must not use layer_decay (its lr-scale vectors span the FULL depth; the
+    reference pretraining optimizer doesn't — run_pretraining.py:504).
+    """
+    from jax import shard_map
+    from mirage_tpu.parallel.pp import pp_grad_kind, pp_param_specs
+
+    assert mesh.shape.get("fsdp", 1) == 1 and mesh.shape.get("tensor", 1) == 1, (
+        "pipeline parallelism composes only with data parallelism "
+        f"(mesh {dict(mesh.shape)}); fsdp/tensor x pipe is not implemented")
+    assert getattr(optimizer, "cfg", None) is None \
+        or optimizer.cfg.layer_decay is None, (
+            "pipeline parallelism requires layer_decay=None: the layer-decay "
+            "lr scales are full-depth vectors the stage-local encoder shards "
+            "can't index (parallel/pp.py scope note)")
+
+    batch_axes = ("data", "fsdp")
+    n_stages = mesh.shape["pipe"]
+    cache = {}
+
+    def build(state, batch):
+        pspecs = pp_param_specs(state["params"], mesh)
+        kinds = pp_grad_kind(state["params"])
+
+        def local_step(state, batch, rng, lr, wd_scale):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(batch_axes))
+
+            def wrapped(local_params, batch, rng):
+                loss, aux = loss_fn(optimizer.stop_frozen(local_params),
+                                    batch, rng)
+                return loss / n_stages, (loss, aux)
+
+            (_, (loss, task_losses)), grads = jax.value_and_grad(
+                wrapped, has_aux=True)(state["params"], batch, rng)
+
+            def reduce_g(g, kind):
+                if kind == "sum":
+                    g = jax.lax.psum(g, "pipe")
+                return jax.lax.pmean(g, batch_axes)
+
+            grads = jax.tree_util.tree_map(reduce_g, grads, kinds)
+            loss, task_losses = jax.lax.pmean((loss, task_losses), batch_axes)
+
+            f32sq = lambda x: jnp.sum(jnp.square(x.astype(jnp.float32)))
+            local_sq = jnp.float32(0)
+            repl_sq = jnp.float32(0)
+            for g, kind in zip(jax.tree_util.tree_leaves(grads),
+                               jax.tree_util.tree_leaves(kinds)):
+                if kind == "local":
+                    local_sq = local_sq + f32sq(g)
+                else:
+                    repl_sq = repl_sq + f32sq(g)
+            gnorm = jnp.sqrt(repl_sq + jax.lax.psum(local_sq, "pipe"))
+
+            params, opt_state, _ = optimizer.update(
+                grads, state["opt"], state["params"], lr, wd_scale,
+                gnorm=gnorm)
+            new_state = {"params": params, "opt": opt_state,
+                         "step": state["step"] + 1}
+            metrics = {"loss": loss, "grad_norm": gnorm}
+            metrics.update({f"loss_{k}": v for k, v in task_losses.items()})
+            return new_state, metrics
+
+        mspecs = jax.tree_util.tree_map(
+            lambda m, sp: sp if m.ndim else P(), state["opt"]["mu"], pspecs)
+        state_specs = {
+            "params": pspecs,
+            "opt": {k: (mspecs if k in ("mu", "nu") else P())
+                    for k in state["opt"]},
+            "step": P(),
+        }
+        batch_specs = jax.tree_util.tree_map(
+            lambda _: P(batch_axes), batch)
+        step = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(state_specs, batch_specs, P(), P(), P()),
+            out_specs=(state_specs, P()),
+            check_vma=False)
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def stepper(state, batch, rng, lr, wd_scale):
+        if "fn" not in cache:
+            cache["fn"] = build(state, batch)
+        return cache["fn"](state, batch, rng, lr, wd_scale)
+
+    stepper.build = build
+    return stepper
+
+
 def init_train_state(params, optimizer: GroupedOptimizer):
     return {"params": params, "opt": optimizer.init(params),
             "step": jnp.zeros((), jnp.int32)}
@@ -392,7 +526,14 @@ def shard_state(state, mesh, tp_num_heads=None):
                         or (is_tp_fsdp(mesh) and _FSDP_STEP == "shardmap")))
     if mesh.size > 1 and is_dp_only(mesh):
         return replicate(state, mesh)
-    if tp_shardmap:
+    if mesh.size > 1 and mesh.shape.get("pipe", 1) > 1:
+        # pipeline placement (no GSPMD fallback exists for 'pipe'): stacked
+        # encoder leaves + moments sharded over 'pipe' on the layer axis,
+        # everything else replicated (parallel/pp.pp_param_specs).
+        from mirage_tpu.parallel.pp import pp_param_specs
+
+        pspecs = pp_param_specs(state["params"], mesh)
+    elif tp_shardmap:
         state = tp_relayout_state(state, tp_num_heads, mesh.shape["tensor"])
         specs_fn = tp_param_specs if is_tp_only(mesh) else tp_fsdp_specs
         pspecs = specs_fn(state["params"], mesh)
