@@ -304,9 +304,16 @@ def main(argv=None):
                      "span the full depth — parallel/pp.py scope note; every "
                      "reference pretraining config uses 0.0)")
         local_b = args.batch_size // n_batch_shards
-        n_micro = args.pp_microbatches or min(local_b, 2 * s)
-        while local_b % n_micro:
-            n_micro -= 1
+        if args.pp_microbatches:
+            n_micro = args.pp_microbatches
+            if n_micro < 1 or local_b % n_micro:
+                sys.exit(f"--pp_microbatches {n_micro} must be a positive "
+                         f"divisor of the local batch ({local_b} = "
+                         f"batch_size / (data x fsdp))")
+        else:  # auto: 2x stages, shrunk to the nearest divisor
+            n_micro = min(local_b, 2 * s)
+            while local_b % n_micro:
+                n_micro -= 1
         print(f">> pipe mesh: GPipe shard_map step, {s} stages x {n_micro} "
               f"microbatches (bubble {(s - 1) / (n_micro + s - 1):.0%}, "
               f"kernels engaged)")

@@ -84,6 +84,9 @@ class MIRAGEModel:
             assert self.drop_path_rate == 0.0, (
                 "pipeline parallelism requires drop_path_rate == 0.0 "
                 "(parallel/pp.py scope note)")
+            assert self.tp is None, (
+                "pipeline x tensor parallelism is not implemented — build "
+                "the model with exactly one of tp/pp set")
             axis, n_micro = self.pp
             return pp_encoder_apply(
                 params_enc, tokens, self.num_heads, axis=axis,

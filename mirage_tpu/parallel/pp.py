@@ -58,9 +58,7 @@ def is_pp(mesh: Mesh) -> bool:
     return mesh.shape.get("pipe", 1) > 1
 
 
-def _names(path):
-    return [str(p.key) if isinstance(p, jax.tree_util.DictKey)
-            else str(getattr(p, "idx", p)) for p in path]
+from mirage_tpu.parallel.tp import _names  # shared path-stringifier
 
 
 def pp_param_specs(params, mesh: Mesh) -> Dict:

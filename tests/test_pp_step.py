@@ -139,6 +139,44 @@ def test_pp_step_rejects_unflagged_mesh_and_composition():
             create_optimizer(OptimizerConfig(
                 opt="adamw", layer_decay=0.75, num_layers=model.depth)),
             mesh=make_mesh({"data": 4, "pipe": 2}), pp=True)
+    # a model carrying both tp and pp fails loudly at the routing guard,
+    # not with a shape error deep in attention
+    both = dataclasses.replace(model, pp=("pipe", 2), tp=("tensor", 2))
+    params = both.init_params(jax.random.PRNGKey(0))
+    with pytest.raises(AssertionError, match="one of tp/pp"):
+        both._encoder(params["encoder"], jnp.zeros((2, 8, 128)),
+                      deterministic=True, rng=None)
+
+
+def test_pretraining_cli_rejects_bad_pp_microbatches(tmp_path, monkeypatch):
+    """An explicit --pp_microbatches that is not a positive divisor of the
+    local batch is a startup error, never a silent override (and never a
+    negative-dimension reshape crash inside jit). The depth-indivisible
+    tiny preset is also rejected, before the microbatch check."""
+    from mirage_tpu.cli import run_pretraining
+    from mirage_tpu.models.mirage import MIRAGEModel, model_factory
+
+    def _tiny4(input_adapters, output_adapters, **kw):
+        return MIRAGEModel(input_adapters=input_adapters,
+                           output_adapters=output_adapters,
+                           dim_tokens=192, depth=4, num_heads=4, mlp_ratio=4,
+                           qkv_bias=True, **kw)
+
+    monkeypatch.setitem(model_factory, "miragepre_tiny4", _tiny4)
+
+    def run(model, extra):
+        run_pretraining.main([
+            "--in_domains", "bscan", "--out_domains", "bscan",
+            "--model", model, "--batch_size", "8", "--mesh_pipe", "2",
+            "--data_path", str(tmp_path / "missing"),
+            "--output_dir", str(tmp_path / "out"),
+        ] + extra)
+
+    for bad in ("6", "-1"):
+        with pytest.raises(SystemExit, match="divisor"):
+            run("miragepre_tiny4", ["--pp_microbatches", bad])
+    with pytest.raises(SystemExit, match="depth"):
+        run("miragepre_tiny", [])  # depth 3 % pipe 2
 
 
 def test_pretraining_cli_pipe_mesh(tmp_path, monkeypatch):
