@@ -2,8 +2,10 @@
 
 Production-deployment layer beyond the reference repo (which only ships the
 `python mirage_wrapper.py` one-shot CLI, mirage_wrapper.py:269-313): TPUs
-want large batches (BASELINE.md: batch-64 runs the flagship at 866 img/s vs
-336 img/s at batch 1), so the server coalesces concurrent single-image
+want large batches (BASELINE.md round-5 latency table: the flagship runs
+261 img/s at batch 1 vs 877 at batch 64 / 898 at the batch-512 headline —
+a single triplet costs 3.83 ms on-device), so the server coalesces
+concurrent single-image
 requests into one device dispatch.
 
 Design: stdlib-only (http.server + threads + numpy). The model is a plain
