@@ -18,6 +18,17 @@ from mirage_tpu.nn.attention import (
     cross_attention_apply,
     cross_attention_init,
 )
+from mirage_tpu.utils.envflags import env_choice
+
+# Whole-block single-kernel routing (ops/fused_block.py) for deterministic
+# forwards. "off" is the measured default: on the ENCODER the merged kernel
+# lost (866->821 img/s — the inter-half HBM round-trip is hidden by grid
+# pipelining and the merged body schedules worse, fused_block.py header).
+# "decoder" routes only dim<=256 blocks — the flagship's decoder tail is
+# ~18 latency-bound sub-2ms calls (BASELINE.md r5 inference trace) where
+# halving the call count is the one untried lever; "all" exists to re-run
+# the encoder A/B. Read at trace time (scripts toggle the module global).
+_BLOCK_FUSE = env_choice("MIRAGE_BLOCK_FUSE", "off", ("off", "decoder", "all"))
 from mirage_tpu.nn.layers import (drop_path, gelu, layer_norm,
                                   layer_norm_init, linear, mlp_apply,
                                   mlp_init)
@@ -79,6 +90,15 @@ def block_apply(p, x, num_heads, *, impl="auto", drop=0.0, attn_drop=0.0,
         # measured SLOWER at the flagship shape: 866 -> 821 img/s; the
         # intermediate HBM round-trip is fully hidden by Mosaic's grid
         # pipelining, and the merged body schedules worse.)
+        if (deterministic and _BLOCK_FUSE != "off"
+                and (_BLOCK_FUSE == "all" or x.shape[-1] <= 256)):
+            # One kernel for the whole block. Deterministic forwards only:
+            # fused_block's backward is an XLA recompute (worse than the
+            # halves' Pallas backwards), so training paths keep the halves.
+            from mirage_tpu.ops import runtime as _rt
+            from mirage_tpu.ops.fused_block import fused_block
+
+            return fused_block(x, p, num_heads, interpret=_rt.interpret())
         from mirage_tpu.ops.block_attention import attn_half_block
         from mirage_tpu.ops.fused_mlp import mlp_block
 

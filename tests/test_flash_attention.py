@@ -205,6 +205,37 @@ def test_fused_block_matches_xla(rng):
                                    atol=3e-5, rtol=1e-4)
 
 
+def test_block_fuse_routing_matches_halves(rng):
+    """MIRAGE_BLOCK_FUSE=decoder routes dim<=256 deterministic blocks to the
+    whole-block kernel; the output must match the two-half kernel path
+    (decoder tail shape: dim 256 / 8 heads / N=257)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mirage_tpu.nn import block as nb
+    from mirage_tpu.ops import runtime as rt
+
+    p = nb.block_init(jax.random.PRNGKey(0), 256, qkv_bias=True)
+    x = jnp.asarray(rng.standard_normal((2, 257, 256)).astype(np.float32))
+    pe = nb.block_init(jax.random.PRNGKey(1), 512, qkv_bias=True)
+    xe = jnp.asarray(rng.standard_normal((1, 33, 512)).astype(np.float32))
+    with rt.forced("interpret"):
+        want = nb.block_apply(p, x, 8)
+        want_e = nb.block_apply(pe, xe, 8)
+        prev = nb._BLOCK_FUSE
+        nb._BLOCK_FUSE = "decoder"
+        try:
+            got = nb.block_apply(p, x, 8)
+            # encoder-width blocks must be untouched by "decoder" mode
+            got_e = nb.block_apply(pe, xe, 8)
+        finally:
+            nb._BLOCK_FUSE = prev
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               atol=0, rtol=0)
+
+
 def test_mlp_block_backward_kernel_matches_xla(rng):
     """Pallas MLP-half backward (interpret mode): dx + all parameter grads
     vs jax.vjp through the plain XLA half-block."""
