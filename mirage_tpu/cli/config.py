@@ -36,6 +36,39 @@ def apply_platform_env():
             jax.config.update("jax_platforms", plat)
         except Exception:
             pass
+    apply_compile_cache()
+
+
+def apply_compile_cache():
+    """Enable JAX's persistent XLA compilation cache for every entry point.
+
+    TPU compiles of novel HLO take tens of seconds to minutes (the reference
+    pays the equivalent torch/CUDA warm-up every process start); caching the
+    compiled executables on disk makes warm restarts — serving redeploys,
+    resumed training, repeated evals — pay only a cache read.
+
+    ``MIRAGE_COMPILE_CACHE`` controls it: a directory path to use, ``off``/
+    ``0`` to disable, unset for the default ``~/.cache/mirage_tpu/xla``.
+    The default stays off when the process is pinned to the CPU backend
+    (tests, interpret-mode smokes) so suites don't write cache files.
+    """
+    spec = (os.environ.get("MIRAGE_COMPILE_CACHE") or "").strip()
+    if spec.lower() in ("0", "off", "false", "no"):
+        return
+    import jax
+
+    if not spec:
+        plat = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS") or ""
+        if plat.split(",")[0].strip() == "cpu":
+            return
+        spec = os.path.expanduser("~/.cache/mirage_tpu/xla")
+    try:
+        jax.config.update("jax_compilation_cache_dir", spec)
+        # Cache everything that took >=1s to compile, however small the HLO.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 
 
 def parse_with_yaml(parser: argparse.ArgumentParser, argv=None) -> argparse.Namespace:

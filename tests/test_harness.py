@@ -142,3 +142,31 @@ def test_seg_checkpoint_surgery():
     emb = out["input_adapters.semseg.class_emb.weight"]
     assert emb.shape == (14, 64)
     np.testing.assert_array_equal(emb[-1], 0)
+
+
+def test_apply_compile_cache(monkeypatch, tmp_path):
+    """MIRAGE_COMPILE_CACHE routing: explicit dir sets the jax config, off/cpu
+    leave it untouched (cli/config.apply_compile_cache)."""
+    from mirage_tpu.cli.config import apply_compile_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        # off: no change
+        monkeypatch.setenv("MIRAGE_COMPILE_CACHE", "off")
+        apply_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == prev
+
+        # unset + cpu-pinned platform (the test suite's state): default stays off
+        monkeypatch.delenv("MIRAGE_COMPILE_CACHE", raising=False)
+        assert (jax.config.jax_platforms or "").split(",")[0] == "cpu"
+        apply_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == prev
+
+        # explicit dir wins regardless of platform
+        cache_dir = str(tmp_path / "xla_cache")
+        monkeypatch.setenv("MIRAGE_COMPILE_CACHE", cache_dir)
+        apply_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == cache_dir
+        assert jax.config.jax_persistent_cache_min_entry_size_bytes == 0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
