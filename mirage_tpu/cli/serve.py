@@ -56,6 +56,33 @@ def make_model_fns(wrapper, in_domains):
     return reconstruct, features
 
 
+def warmup(wrapper, model_fns, max_batch: int, *, pow2: bool = True):
+    """Pre-compile every batch shape the dispatcher can emit, before traffic.
+
+    Runs the all-modalities zero request at each ladder size, largest first
+    (the big compile seeds XLA's subexpression caches for the smaller rungs).
+    With the power-of-two padding that is log2(max_batch)+1 shapes; without,
+    all of 1..max_batch. Restarts replay these from the persistent
+    compilation cache (cli/config.apply_compile_cache) in seconds.
+    """
+    if pow2:
+        sizes = [1]
+        while sizes[-1] < max_batch:
+            sizes.append(sizes[-1] * 2)
+    else:
+        sizes = list(range(1, max_batch + 1))
+    for b in reversed(sizes):
+        zeros = {}
+        for d in wrapper.in_domains:
+            h, w = wrapper.input_size[d]
+            zeros[d] = (np.zeros((b, h, w), np.int32) if d == "bscanlayermap"
+                        else np.zeros((b, 1, h, w), np.float32))
+        print(f"warmup: compiling batch={b} ...", flush=True)
+        for fn in model_fns:
+            fn(zeros)
+    print("warmup: done", flush=True)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--weights", required=True)
@@ -69,6 +96,14 @@ def main(argv=None):
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 compute + bf16-resident weights (the measured "
                          "fast inference configuration, BASELINE.md)")
+    ap.add_argument("--no_pad_pow2", action="store_true",
+                    help="disable padding batches to the power-of-two ladder "
+                         "(every distinct batch size then compiles separately)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="pre-compile the full batch-size ladder for the "
+                         "all-modalities request before accepting traffic "
+                         "(near-free on restart via the persistent "
+                         "compilation cache)")
     ap.add_argument("--mesh", default=None,
                     help="multi-chip serving, e.g. data=4,fsdp=1,tensor=2")
     args = ap.parse_args(argv)
@@ -94,9 +129,16 @@ def main(argv=None):
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             wrapper.params)
 
-    from mirage_tpu.serve import MIRAGEServer
+    from mirage_tpu.serve import MIRAGEServer, pow2_padded
 
     reconstruct, features = make_model_fns(wrapper, wrapper.in_domains)
+    if not args.no_pad_pow2:
+        reconstruct, features = pow2_padded(reconstruct), pow2_padded(features)
+
+    if args.warmup:
+        warmup(wrapper, [reconstruct, features], args.max_batch,
+               pow2=not args.no_pad_pow2)
+
     server = MIRAGEServer(
         reconstruct_fn=reconstruct, features_fn=features,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,

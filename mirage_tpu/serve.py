@@ -68,7 +68,8 @@ class BatchingQueue:
     until `max_batch` samples are queued or `max_wait_ms` elapsed, stacks
     them on axis 0, runs `model_fn` ONCE, and fans the per-sample slices back
     to the waiting requests. Mirrors the standard accelerator-serving
-    pattern; the MIRAGEWrapper pads odd batches to its compiled sizes.
+    pattern; wrap `model_fn` in :func:`pow2_padded` to bound how many
+    distinct batch shapes reach the compiler.
     """
 
     def __init__(self, model_fn: Callable[[Dict[str, np.ndarray]], Dict[str, np.ndarray]],
@@ -161,6 +162,39 @@ class BatchingQueue:
                     self.batch_sizes.append(len(batch))
                 for p in batch:
                     p.event.set()
+
+
+def pow2_padded(model_fn: Callable[[Dict[str, np.ndarray]], Dict[str, np.ndarray]]
+                ) -> Callable[[Dict[str, np.ndarray]], Dict[str, np.ndarray]]:
+    """Pad every batched call up to the next power of two (zeros), slice the
+    outputs back.
+
+    The dynamic batcher produces batch sizes 1..max_batch as load varies, and
+    under jit EVERY novel batch shape is a fresh XLA compile of the full model
+    (minutes of tunnel latency each on this image; the single-chip wrapper has
+    no device-multiple to pad to — `MIRAGEWrapper._batch_multiple()` is 1).
+    Padding to the power-of-two ladder bounds a long-running server to
+    log2(max_batch)+1 compiled shapes, all pre-compilable by a startup warmup
+    and replayed from the persistent compilation cache across restarts
+    (cli/config.apply_compile_cache). Latency cost is bounded by the next
+    ladder rung (BASELINE.md round-5 latency table: the rungs are ~1.7x
+    apart in ms, far below one avoided 100s compile amortized over a run).
+    """
+
+    def fn(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        b = next(iter(batch.values())).shape[0]
+        p = 1 << max(b - 1, 0).bit_length()
+        if p == b:
+            return model_fn(batch)
+        padded = {
+            k: np.concatenate(
+                [v, np.zeros((p - b,) + v.shape[1:], dtype=v.dtype)])
+            for k, v in batch.items()
+        }
+        out = model_fn(padded)
+        return {k: np.asarray(v)[:b] for k, v in out.items()}
+
+    return fn
 
 
 def _encode_npz(arrays: Dict[str, np.ndarray]) -> bytes:

@@ -174,3 +174,65 @@ def test_batching_queue_buckets_by_signature():
             np.testing.assert_allclose(out[k], v + 1.0)
     # every model call saw a homogeneous batch
     assert all(s in ((("bscan",)), ("bscan", "slo")) for s in seen)
+
+
+def test_pow2_padded_bounds_compiled_shapes():
+    from mirage_tpu.serve import pow2_padded
+
+    seen_sizes = []
+
+    def model(batch):
+        b = batch["x"].shape[0]
+        seen_sizes.append(b)
+        # padding rows must be zeros (the wrapper's zero-fill semantics)
+        if b > 3:
+            np.testing.assert_array_equal(batch["x"][3:], 0)
+        return {"y": batch["x"] * 2.0, "z": batch["x"].sum(axis=1)}
+
+    fn = pow2_padded(model)
+    for b in range(1, 9):
+        x = np.arange(b * 4, dtype=np.float32).reshape(b, 4) + 1.0
+        x = np.minimum(x, 0.0) if b > 3 else x  # keep rows >=3 zero-checkable
+        out = fn({"x": x if b <= 3 else np.zeros((b, 4), np.float32)})
+        assert out["y"].shape == (b, 4)
+        assert out["z"].shape == (b,)
+        if b <= 3:
+            np.testing.assert_allclose(out["y"], x * 2.0)
+    # batch sizes 1..8 reach the model only as the power-of-two ladder
+    assert set(seen_sizes) == {1, 2, 4, 8}
+
+
+def test_pow2_padded_exact_pow2_passthrough():
+    from mirage_tpu.serve import pow2_padded
+
+    def model(batch):
+        return {"y": batch["x"] + 1.0}
+
+    fn = pow2_padded(model)
+    x = np.ones((4, 2), np.float32)
+    np.testing.assert_allclose(fn({"x": x})["y"], x + 1.0)
+
+
+def test_serve_cli_warmup_covers_ladder():
+    from mirage_tpu.cli.serve import warmup
+    from mirage_tpu.serve import pow2_padded
+
+    class StubWrapper:
+        in_domains = ["bscan", "bscanlayermap"]
+        input_size = {"bscan": (8, 8), "bscanlayermap": (4, 4)}
+
+    seen = []
+
+    def model(batch):
+        assert batch["bscan"].shape[1:] == (1, 8, 8)
+        assert batch["bscanlayermap"].dtype == np.int32
+        seen.append(batch["bscan"].shape[0])
+        return {"y": batch["bscan"]}
+
+    warmup(StubWrapper(), [pow2_padded(model)], max_batch=6, pow2=True)
+    # largest-first ladder covering max_batch=6: 8, 4, 2, 1
+    assert seen == [8, 4, 2, 1]
+
+    seen.clear()
+    warmup(StubWrapper(), [model], max_batch=3, pow2=False)
+    assert seen == [3, 2, 1]
