@@ -93,6 +93,9 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8473)
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
+    ap.add_argument("--request_timeout_s", type=float, default=600.0,
+                    help="per-request wait bound; must cover a cold XLA "
+                         "compile (minutes) when starting without --warmup")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 compute + bf16-resident weights (the measured "
                          "fast inference configuration, BASELINE.md)")
@@ -142,6 +145,7 @@ def main(argv=None):
     server = MIRAGEServer(
         reconstruct_fn=reconstruct, features_fn=features,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        request_timeout_s=args.request_timeout_s,
         device=str(jax.devices()[0]), n_params=wrapper._n_params)
     print(f"serving {args.modalities} on http://{args.host}:{args.port} "
           f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms, "

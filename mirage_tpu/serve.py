@@ -213,8 +213,14 @@ class MIRAGEServer:
 
     def __init__(self, reconstruct_fn=None, features_fn=None, *,
                  max_batch: int = 16, max_wait_ms: float = 5.0,
-                 device: str = "unknown", n_params: int = 0):
+                 device: str = "unknown", n_params: int = 0,
+                 request_timeout_s: float = 120.0):
+        """request_timeout_s: how long a request waits for its batch. Must
+        cover the worst cold XLA compile (minutes on novel shapes) if the
+        server starts without --warmup; with warmup + the persistent
+        compilation cache the default is generous."""
         assert reconstruct_fn is not None or features_fn is not None
+        self.request_timeout_s = request_timeout_s
         self.queues: Dict[str, BatchingQueue] = {}
         if reconstruct_fn is not None:
             self.queues["/v1/reconstruct"] = BatchingQueue(
@@ -294,7 +300,8 @@ class MIRAGEServer:
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     sample = _decode_npz(self.rfile.read(n))
-                    result = q.submit(sample)
+                    result = q.submit(sample,
+                                      timeout=server.request_timeout_s)
                     self._send(200, _encode_npz(result), "application/npz")
                 except Exception as e:  # noqa: BLE001 — report to client
                     self._send(500, json.dumps({"error": repr(e)}).encode(),

@@ -236,3 +236,23 @@ def test_serve_cli_warmup_covers_ladder():
     seen.clear()
     warmup(StubWrapper(), [model], max_batch=3, pow2=False)
     assert seen == [3, 2, 1]
+
+
+def test_request_timeout_plumbed_to_submit():
+    import urllib.error
+    from mirage_tpu.serve import MIRAGEServer
+
+    def slow_model(batch):
+        time.sleep(0.5)
+        return {"y": batch["x"]}
+
+    srv = MIRAGEServer(reconstruct_fn=slow_model, max_batch=2, max_wait_ms=1,
+                       request_timeout_s=0.05)
+    httpd = srv.serve(port=8717, background=True)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post("http://127.0.0.1:8717/v1/reconstruct",
+                  {"x": np.ones((2,), np.float32)})
+        assert ei.value.code == 500
+    finally:
+        srv.close()
