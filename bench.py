@@ -104,6 +104,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: the headline HLO recompiles through the
+    # tunnel (minutes) every driver run otherwise. Steady-state step timing
+    # is unaffected (the timed loop runs after the warmup sync).
+    from mirage_tpu.cli.config import apply_compile_cache
+
+    apply_compile_cache()
+
     from __graft_entry__ import _build_mirage
 
     model = _build_mirage("large", img=512, layermap=128,
